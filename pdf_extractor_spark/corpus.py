@@ -1,0 +1,281 @@
+"""Deterministic synthetic corpus of Common-Crawl-style pages.
+
+Produces the ``pages(url, warc_ts, html:binary, text, lang)`` table from
+BASELINE.json's input_hint. Because no PDF library ships in this
+environment, the PDF payload is a *span-document*: the exact span table
+a PDF parser (PyMuPDF-style) would emit, serialized as zlib-compressed
+JSON behind a magic header. The contract boundary of the whole engine
+is this span table (SURVEY.md §5.2) — if a real PDF parser becomes
+available it slots in behind the same schema
+(``sources/payload.py:parse_payload``).
+
+Everything is seeded (default 42) and pure-functional: the same
+(n_docs, seed) always produces byte-identical payloads, which is what
+makes the differential byte-identity tests and the two-parallelism
+benchmark meaningful.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+import zlib
+
+SPANDOC_MAGIC = b"SPANDOC1"
+HTML_MAGIC = b"<!"  # plain HTML bytes start with <!doctype or tags
+
+_FONTS_BODY = ["Helvetica", "Times-Roman", "Garamond", "Courier", "Arial-Italic"]
+_FONTS_HEAD = [
+    "Helvetica-Bold",
+    "TimesNewRoman-Black",
+    "Arial-Heavy",
+    "Garamond-DemiBold",
+    "Courier-SemiBold",
+    "Helvetica-BoldItalic",
+]
+_WORDS = (
+    "the quick brown fox jumps over lazy dog data spark shuffle partition "
+    "vector column query plan merge batch window stream table index scan "
+    "join filter aggregate sort hash broadcast skew salt bucket arrow"
+).split()
+_UNICODE_WORDS = ["naïve", "Überblick", "résumé", "中文", "ΔΣ", "façade"]
+_HEAD_WORDS = "Introduction Methods Results Discussion Overview Analysis Design Implementation Evaluation Conclusion Appendix References".split()
+_NUMBERINGS = ["1.", "2.", "3.", "1.1", "1.2", "2.1.1", "3.2", "A.", "B.", "IV.", "IX.", "10."]
+_POSTER_LINES = [
+    "YOU ARE INVITED",
+    "RSVP: call Sarah",
+    "DATE: Saturday",
+    "TIME: 3 PM",
+    "ADDRESS: 123 Main St",
+    "HOPE TO SEE YOU THERE",
+    "Party at the park",
+]
+
+
+def _sentence(rng: random.Random, lo: int = 4, hi: int = 14, unicode_ok: bool = False) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if unicode_ok and rng.random() < 0.3:
+        words[rng.randrange(n)] = rng.choice(_UNICODE_WORDS)
+    s = " ".join(words)
+    return s.capitalize() if rng.random() < 0.5 else s
+
+
+def _line_of_spans(
+    rng: random.Random,
+    text: str,
+    y: float,
+    size: float,
+    font: str,
+    x_start: float = 54.0,
+) -> list[dict]:
+    """Split text into 1..4 spans along x, occasionally with gap/overlap
+    jitter and whitespace-only spans, to exercise the merge fold."""
+    parts_n = rng.randint(1, 4)
+    words = text.split(" ")
+    if parts_n > len(words):
+        parts_n = len(words)
+    bounds = sorted(rng.sample(range(1, len(words)), parts_n - 1)) if parts_n > 1 else []
+    chunks, prev = [], 0
+    for b in bounds + [len(words)]:
+        chunks.append(" ".join(words[prev:b]))
+        prev = b
+    spans = []
+    x = x_start
+    for chunk in chunks:
+        w = max(len(chunk), 1) * size * 0.5
+        gap_mode = rng.random()
+        if gap_mode < 0.55:
+            gap = rng.uniform(0, size * 0.25)  # concat range
+        elif gap_mode < 0.8:
+            gap = rng.uniform(size * 0.35, size * 1.4)  # space-join range
+        elif gap_mode < 0.9:
+            gap = rng.uniform(size * 1.6, size * 4)  # flush range
+        else:
+            gap = rng.uniform(-8, 0)  # overlap
+        y_jit = rng.uniform(-1.5, 1.5) if rng.random() < 0.3 else 0.0
+        spans.append(
+            {
+                "text": chunk if rng.random() > 0.05 else chunk + "  ",
+                "bbox": [round(x, 2), round(y + y_jit, 2), round(x + w, 2), round(y + y_jit + size * 1.2, 2)],
+                "font": font if rng.random() > 0.15 else rng.choice(_FONTS_BODY + _FONTS_HEAD),
+                "size": size if rng.random() > 0.2 else round(size + rng.uniform(-1.5, 1.5), 1),
+            }
+        )
+        if rng.random() < 0.08:
+            spans.append({"text": "   ", "bbox": [x, y, x + 5, y + size], "font": font, "size": size})
+        x += w + gap
+    return spans
+
+
+def random_spandoc(rng: random.Random) -> list[dict]:
+    """One synthetic document in parser-output shape:
+    [{'width': float, 'blocks': [block=[line=[span,...],...],...]}, ...]
+    """
+    kind = rng.choices(
+        ["report", "poster", "flyer", "plain", "edge"],
+        weights=[0.45, 0.15, 0.15, 0.15, 0.10],
+    )[0]
+    width = rng.choice([612.0, 595.2, 420.0])
+    body_size = rng.choice([9.0, 10.0, 10.5, 11.0, 12.0])
+    body_font = rng.choice(_FONTS_BODY)
+    pages: list[dict] = []
+
+    if kind == "poster":
+        y = 40.0
+        lines = []
+        n = rng.randint(4, 8)
+        chosen = rng.sample(_POSTER_LINES, min(n, len(_POSTER_LINES)))
+        for t in chosen:
+            sz = rng.choice([body_size, 18.0, 24.0, 30.0])
+            font = rng.choice(_FONTS_HEAD if sz > 14 else _FONTS_BODY)
+            x0 = rng.uniform(40, width / 2)
+            lines.append([_line_of_spans(rng, t, y, sz, font, x_start=x0)])
+            y += sz * rng.uniform(1.2, 2.5)
+        for _ in range(rng.randint(1, 4)):
+            lines.append([_line_of_spans(rng, _sentence(rng), y, body_size, body_font)])
+            y += body_size * 1.4
+        pages.append({"width": width, "blocks": lines})
+        return pages
+
+    n_pages = 1 if kind in ("flyer", "plain") and rng.random() < 0.7 else rng.randint(2, 5)
+    title_size = rng.choice([18.0, 20.0, 24.0, 28.0])
+    for p in range(n_pages):
+        blocks = []
+        y = 50.0
+        if p == 0 and kind != "plain":
+            # title possibly split across two y-grouped lines
+            for _ in range(rng.randint(1, 2)):
+                t = " ".join(rng.sample(_HEAD_WORDS, rng.randint(2, 4)))
+                x0 = width / 2 - len(t) * title_size * 0.25 if rng.random() < 0.6 else 54.0
+                blocks.append([_line_of_spans(rng, t, y, title_size, rng.choice(_FONTS_HEAD), x_start=max(x0, 10.0))])
+                y += title_size * 1.3
+        n_paras = rng.randint(2, 6)
+        for _ in range(n_paras):
+            if kind == "report" and rng.random() < 0.5:
+                num = rng.choice(_NUMBERINGS) + " " if rng.random() < 0.6 else ""
+                head = num + rng.choice(_HEAD_WORDS)
+                hsize = rng.choice([13.0, 14.0, 16.0, title_size * 0.8])
+                y += rng.uniform(10, 30)
+                blocks.append([_line_of_spans(rng, head, y, hsize, rng.choice(_FONTS_HEAD))])
+                y += hsize * 1.4
+            for _ in range(rng.randint(1, 4)):
+                blocks.append(
+                    [_line_of_spans(rng, _sentence(rng, unicode_ok=kind == "edge"), y, body_size, body_font)]
+                )
+                y += body_size * 1.35
+        if kind == "edge" and rng.random() < 0.5:
+            blocks.append([[{"text": "X", "bbox": [10, y, 14, y + 8], "font": body_font, "size": 7.0}]])
+            blocks.append([[{"text": "  \t ", "bbox": [10, y, 14, y + 8], "font": body_font, "size": 7.0}]])
+            blocks.append([_line_of_spans(rng, "Version 2.1 draft", y + 10, 14.0, rng.choice(_FONTS_HEAD))])
+        pages.append({"width": width, "blocks": blocks})
+    return pages
+
+
+# ----------------------------------------------------------- payloads
+def spandoc_to_payload(pages: list[dict]) -> bytes:
+    return SPANDOC_MAGIC + zlib.compress(
+        json.dumps(pages, ensure_ascii=False, separators=(",", ":")).encode("utf-8"), 6
+    )
+
+
+def payload_to_spandoc(payload: bytes) -> list[dict]:
+    if not payload.startswith(SPANDOC_MAGIC):
+        raise ValueError("not a spandoc payload")
+    return json.loads(zlib.decompress(payload[len(SPANDOC_MAGIC):]).decode("utf-8"))
+
+
+def random_html(rng: random.Random) -> bytes:
+    """Synthetic boilerplate-heavy HTML page for the DOM-stripping path."""
+    title = " ".join(rng.sample(_HEAD_WORDS, 2))
+    nav = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in rng.sample(_WORDS, 5))
+    paras = []
+    for i in range(rng.randint(2, 6)):
+        if rng.random() < 0.4:
+            lvl = rng.randint(1, 3)
+            paras.append(f"<h{lvl}>{rng.choice(_HEAD_WORDS)} {i}</h{lvl}>")
+        body = " ".join(_sentence(rng, 8, 20) for _ in range(rng.randint(1, 3)))
+        paras.append(f"<p>{body}</p>")
+    sidebar = "".join(f'<a href="/x{i}">{rng.choice(_WORDS)}</a>' for i in range(6))
+    html = (
+        f"<!DOCTYPE html><html><head><title>{title}</title>"
+        f"<script>var x = 1;</script><style>.a{{color:red}}</style></head>"
+        f"<body><header><h1>{title}</h1><nav><ul>{nav}</ul></nav></header>"
+        f"<aside>{sidebar}</aside>"
+        f"<main><article>{''.join(paras)}</article></main>"
+        f"<footer><p>© 2026 example.com — <a href='/terms'>terms</a> "
+        f"<a href='/privacy'>privacy</a></p></footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+_EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def build_pages_rows(n_docs: int, seed: int = 42, html_fraction: float = 0.25) -> list[dict]:
+    """Deterministic pages-table rows. ~html_fraction of rows carry HTML
+    payloads, the rest spandocs; a small slice is corrupt (S4 path)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        r = random.Random(seed * 1_000_003 + i)  # per-doc stream → order-free determinism
+        host = f"host{r.randint(0, max(4, n_docs // 20))}.example.com"
+        url = f"https://{host}/doc/{i:06d}"
+        ts = _EPOCH + dt.timedelta(seconds=i * 37)
+        roll = r.random()
+        if roll < html_fraction:
+            payload = random_html(r)
+            lang = r.choice(["en", "de", "fr", "es"])
+        elif roll < html_fraction + 0.02:
+            payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
+            lang = "und"
+        else:
+            payload = spandoc_to_payload(random_spandoc(r))
+            lang = "en"
+        rows.append({"url": url, "warc_ts": ts, "html": payload, "text": None, "lang": lang})
+    rng.shuffle(rows)  # de-correlate url order from generation order
+    return rows
+
+
+# ------------------------------------------------- testdata adapter
+def spandoc_from_doc_row(doc_id: int, text: str) -> list[dict]:
+    """Deterministically expand a /root/testdata documents row into a
+    multi-page spandoc so the driver-provided tables can feed the full
+    pipeline (used by __spark_entry__.entry)."""
+    words = (text or "").split()
+    if not words:
+        words = ["empty"]
+    pages: list[dict] = []
+    wpl = 8  # words per line
+    lines = [" ".join(words[i : i + wpl]) for i in range(0, len(words), wpl)]
+    n_pages = max(1, min(4, 1 + doc_id % 4))
+    per_page = max(1, (len(lines) + n_pages - 1) // n_pages)
+    li = 0
+    for p in range(n_pages):
+        blocks = []
+        y = 50.0
+        if p == 0:
+            t = f"Document {doc_id} " + " ".join(words[:3]).title()
+            blocks.append(
+                [[{"text": t, "bbox": [100.0, y, 100.0 + len(t) * 10.0, y + 24.0], "font": "Helvetica-Bold", "size": 20.0}]]
+            )
+            y += 30.0
+        for k in range(per_page):
+            if li >= len(lines):
+                break
+            h = (doc_id * 131 + li * 17) % 19
+            if h == 0:
+                head = f"{(li % 9) + 1}. Section {li}"
+                blocks.append(
+                    [[{"text": head, "bbox": [54.0, y, 54.0 + len(head) * 7.0, y + 16.8], "font": "Arial-Heavy", "size": 14.0}]]
+                )
+                y += 20.0
+            line = lines[li]
+            blocks.append(
+                [[{"text": line, "bbox": [54.0, y, 54.0 + len(line) * 5.0, y + 12.0], "font": "Helvetica", "size": 10.0}]]
+            )
+            y += 14.0
+            li += 1
+        pages.append({"width": 612.0, "blocks": blocks})
+    return pages
