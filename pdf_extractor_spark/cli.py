@@ -1,0 +1,65 @@
+"""spark-submit entrypoint (north rule: ``spark-submit --py-files``).
+
+Usage:
+  spark-submit [--master local[N]] cli_launcher.py \
+      --input  /path/to/pages_parquet   (or --synthesize N --seed S) \
+      --output /path/to/result_dir \
+      [--buckets 32] [--keep-failed]
+
+Reads a pages table (url, warc_ts, html, text, lang), runs the
+extraction pipeline, writes the result table + per-partition lineage
+manifests, prints a one-line JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_extractor_spark")
+    ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument("--synthesize", type=int, default=0, help="generate N synthetic pages instead of --input")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=32, help="url-hash output buckets")
+    ap.add_argument("--resume", action="store_true", help="skip urls already committed in --output")
+    args = ap.parse_args(argv)
+
+    from pdf_extractor_spark import corpus, io as pio
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.schemas import PAGES_SCHEMA
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark("pdf_extractor_cli")
+    t0 = time.time()
+    if args.synthesize:
+        rows = corpus.build_pages_rows(args.synthesize, seed=args.seed)
+        pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synthesize")
+
+    if args.resume:
+        pages = pio.filter_pending(pages, args.output)
+
+    result = extract_pages(pages, keep_failed=True)
+    stats = pio.write_result(
+        result, args.output, n_buckets=args.buckets, mode="append" if args.resume else "overwrite"
+    )
+    elapsed = time.time() - t0
+    summary = {
+        "output": args.output,
+        "elapsed_sec": round(elapsed, 2),
+        **stats,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -220,16 +220,19 @@ def build_pages_rows(n_docs: int, seed: int = 42, html_fraction: float = 0.25) -
     rows = []
     for i in range(n_docs):
         r = random.Random(seed * 1_000_003 + i)  # per-doc stream → order-free determinism
-        host = f"host{r.randint(0, max(4, n_docs // 20))}.example.com"
+        # host pool independent of n_docs so corpus(N) is a prefix of
+        # corpus(M>N) — required for meaningful resume tests. Zipf-ish
+        # skew: host0 is hot (north rule's skewed-host scenario).
+        host = f"host{min(r.randint(0, 31), r.randint(0, 31))}.example.com"
         url = f"https://{host}/doc/{i:06d}"
         ts = _EPOCH + dt.timedelta(seconds=i * 37)
         roll = r.random()
-        if roll < html_fraction:
-            payload = random_html(r)
-            lang = r.choice(["en", "de", "fr", "es"])
-        elif roll < html_fraction + 0.02:
+        if i % 41 == 7:  # deterministic ~2.4% corrupt slice (S4 path)
             payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
             lang = "und"
+        elif roll < html_fraction:
+            payload = random_html(r)
+            lang = r.choice(["en", "de", "fr", "es"])
         else:
             payload = spandoc_to_payload(random_spandoc(r))
             lang = "en"

@@ -1,0 +1,101 @@
+"""Result-table IO: bucketed layout, lineage manifests, resume.
+
+North-rule requirements implemented here:
+  - explicit bucketed partitioning on url-hash (``bucket = pmod(
+    xxhash64(url), N)``) — co-locates any later per-url join/agg and
+    bounds file counts at 10^12-document scale;
+  - per-partition lineage manifests (rows in/out, parse failures,
+    payload bytes) written alongside every snapshot;
+  - resumability: ``filter_pending`` anti-joins the input against the
+    committed result table so a re-run processes only missing urls —
+    idempotent writes at the url granularity.
+
+Iceberg is the intended production format; its runtime jar is not in
+this environment (verified: 0 matches in pyspark/jars), so the layout
+falls back to parquet with an identical bucket scheme. The write path
+is format-agnostic behind ``write_result``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str = "overwrite") -> dict:
+    """Write the result table bucketed by url-hash + lineage manifests.
+
+    All rows (including parse failures) land in the table — consumers
+    filter on ``parse_ok`` (the reference's "no output for failed
+    docs" semantic, S4) — so lineage can be derived from the committed
+    snapshot itself with a column-pruned scan instead of a second
+    pipeline pass.
+    """
+    table_dir = os.path.join(out_dir, "result")
+    bucketed = with_bucket(result, n_buckets)
+    # mode="append" is the resume path: filter_pending already removed
+    # committed urls, so appending is idempotent at url granularity
+    (
+        bucketed.repartition(n_buckets, "bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(table_dir)
+    )
+
+    spark = result.sparkSession
+    # lineage from the committed snapshot: reads only 3 thin columns
+    # (column pruning keeps this cheap even at PB scale)
+    written = spark.read.parquet(table_dir)
+    lineage = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("rows_out"),
+            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+        )
+        .orderBy("bucket")
+    )
+    lineage_rows = [r.asDict() for r in lineage.collect()]
+
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    snapshot = {
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_buckets": n_buckets,
+        "partitions": lineage_rows,
+        "totals": {
+            "rows_in": sum(r["rows_in"] for r in lineage_rows),
+            "rows_out": sum(r["rows_out"] for r in lineage_rows),
+            "parse_failures": sum(r["parse_failures"] for r in lineage_rows),
+            "payload_bytes": sum(r["payload_bytes"] or 0 for r in lineage_rows),
+        },
+    }
+    with open(os.path.join(lineage_dir, "manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(snapshot, f, indent=2)
+    return snapshot["totals"]
+
+
+def read_result(spark: SparkSession, out_dir: str, include_failed: bool = False) -> DataFrame:
+    df = spark.read.parquet(os.path.join(out_dir, "result"))
+    return df if include_failed else df.filter(F.col("parse_ok"))
+
+
+def filter_pending(pages: DataFrame, out_dir: str) -> DataFrame:
+    """Resume-from-checkpoint: keep only urls absent from the committed
+    result table (left-anti join on the bucketed snapshot)."""
+    spark = pages.sparkSession
+    table_dir = os.path.join(out_dir, "result")
+    try:
+        done = spark.read.parquet(table_dir).select("url")
+    except Exception:
+        return pages  # nothing committed yet
+    return pages.join(done, "url", "left_anti")

@@ -1,0 +1,167 @@
+"""HTML main-content extraction (north-rule addition, SURVEY.md §2.11).
+
+The reference contains no HTML code; the north rule adds "HTML
+boilerplate strip … DOM heuristics". This is a public-knowledge
+jusText/Boilerpipe-style extractor built on stdlib ``html.parser``
+only (no lxml/bs4 in the environment):
+
+  1. stream the DOM, dropping ``script/style/nav/header/footer/aside/
+     form/noscript/iframe/svg/template/button/select`` subtrees;
+  2. segment text into blocks at block-level tag boundaries;
+  3. per block compute link density (chars inside <a> / total chars),
+     stopword density and length;
+  4. keep blocks that look like prose (long enough, low link density,
+     some stopwords) — classic boilerplate heuristics;
+  5. emit headings from <h1>..<h6> as outline entries (level = tag),
+     plus the <title> / first <h1> as the document title.
+
+Deterministic and pure → golden-file + idempotence tested.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Optional
+
+_DROP_TAGS = frozenset(
+    "script style nav header footer aside form noscript iframe svg template button select option".split()
+)
+_BLOCK_TAGS = frozenset(
+    "p div section article main li ul ol table tr td th h1 h2 h3 h4 h5 h6 blockquote pre br hr figure figcaption".split()
+)
+_HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+# small multilingual stopword seed (public knowledge); enough for a
+# prose-vs-boilerplate density signal
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was for on with as at by it this that "
+    "le la les de et un une du des en est "
+    "der die das und ein eine von zu im den "
+    "el la los las de y un una del en es".split()
+)
+
+_WS_RX = re.compile(r"\s+")
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._heading: Optional[str] = None
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._total_chars = 0
+        self.title_parts: list[str] = []
+        self._in_title = False
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        text = _WS_RX.sub(" ", "".join(self._parts)).strip()
+        if text:
+            self.blocks.append(
+                {
+                    "text": text,
+                    "tag": self._heading or "p",
+                    "link_chars": self._link_chars,
+                    "total_chars": self._total_chars,
+                }
+            )
+        self._parts = []
+        self._link_chars = 0
+        self._total_chars = 0
+
+    # -- parser callbacks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._heading = tag if tag in _HEADING_TAGS else None
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _HEADING_TAGS:
+                self._heading = None
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        self._parts.append(data)
+        n = len(data.strip())
+        self._total_chars += n
+        if self._link_depth:
+            self._link_chars += n
+
+
+def _is_content(block: dict) -> bool:
+    """Boilerplate vs content decision for non-heading blocks."""
+    text = block["text"]
+    total = max(block["total_chars"], 1)
+    link_density = block["link_chars"] / total
+    words = text.split()
+    if len(words) < 4:
+        return False
+    if link_density > 0.5:
+        return False
+    stop = sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in _STOPWORDS)
+    stop_density = stop / len(words)
+    # prose either has stopwords or is long-form text
+    return stop_density >= 0.05 or len(text) >= 120
+
+
+def extract_html(payload: bytes) -> dict:
+    """payload bytes → {title, main_text, outline, n_kept, n_dropped}."""
+    text = payload.decode("utf-8", errors="replace")
+    parser = _Extractor()
+    parser.feed(text)
+    parser._flush()
+
+    outline = []
+    kept: list[str] = []
+    dropped = 0
+    for b in parser.blocks:
+        if b["tag"] in _HEADING_TAGS:
+            level = "H" + b["tag"][1]
+            outline.append({"level": level, "text": b["text"], "page": 0})
+            kept.append(b["text"])
+        elif _is_content(b):
+            kept.append(b["text"])
+        else:
+            dropped += 1
+
+    title = _WS_RX.sub(" ", "".join(parser.title_parts)).strip()
+    if not title:
+        h1s = [e["text"] for e in outline if e["level"] == "H1"]
+        title = h1s[0] if h1s else ""
+    return {
+        "title": title,
+        "main_text": "\n".join(kept),
+        "outline": outline,
+        "n_kept": len(kept),
+        "n_dropped": dropped,
+    }

@@ -84,6 +84,8 @@ RESULT_SCHEMA = T.StructType(
         # Spark's to_json cannot render indent=2, so this is produced in
         # the same Arrow stage that computes the outline.
         T.StructField("outline_json", T.StringType(), True),
+        # HTML rows: boilerplate-stripped main content (north rule)
+        T.StructField("main_text", T.StringType(), True),
         T.StructField("parse_ok", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
         T.StructField("payload_kind", T.StringType(), True),
