@@ -1,0 +1,438 @@
+"""Named operator queries + DuckDB oracles for the correctness gate.
+
+Every SQL-expressible operator from SURVEY.md §2 is registered here as
+  QUERIES[name]  : (spark, sf_dir) -> DataFrame   (native DataFrame plan)
+  ORACLES[name]  : ANSI SQL string for DuckDB over the same parquet
+Column names and types are aligned on both sides (the driver sorts
+columns by name and hashes values). Order-dependent folds that cannot
+be expressed relationally (M1 exact, G3/G4/G8, byte-identity paths)
+are covered by the pytest differential suite instead and appear in
+__spark_entry__ as rows-only queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import relational as R
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _blocks(spark, sf_dir):
+    return R.derived_blocks(spark, sf_dir)
+
+
+_PFX = R.DERIVED_BLOCKS_CTE
+
+
+# ------------------------------------------------------------- scans/D*
+@register(
+    "d_block_projection",
+    _PFX
+    + """
+SELECT doc_id, block_idx, page_num, block_text, char_count, font_size,
+       is_bold, numbering, x0, y0, x1, y1
+FROM blocks2""",
+)
+def d_block_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6: the derived-column projection itself (scan + project +
+    regexp classification), fully pushdown-friendly."""
+    return _blocks(spark, sf_dir)
+
+
+# ------------------------------------------------------------ windows
+@register(
+    "w1_space_above",
+    _PFX
+    + """
+SELECT doc_id, block_idx,
+       CASE WHEN lag(page_num) OVER w = page_num
+            THEN y0 - lag(y1) OVER w ELSE 0.0 END AS space_above
+FROM blocks2 WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)""",
+)
+def w1_space_above(spark, sf_dir):
+    """W1: lag window over insertion order (analysis_new.py:60-63)."""
+    w = W.partitionBy("doc_id").orderBy("block_idx")
+    b = _blocks(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        "block_idx",
+        F.when(
+            F.lag("page_num").over(w) == F.col("page_num"),
+            F.col("y0") - F.lag("y1").over(w),
+        )
+        .otherwise(0.0)
+        .alias("space_above"),
+    )
+
+
+@register(
+    "w2_centered",
+    _PFX
+    + """
+SELECT doc_id, block_idx,
+       (abs(306.0 - (x0 + x1) / 2) < 122.4) AS is_centered
+FROM blocks2""",
+)
+def w2_centered(spark, sf_dir):
+    """W2: centered predicate vs page width (analysis_new.py:64)."""
+    b = _blocks(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        "block_idx",
+        (F.abs(F.lit(306.0) - (F.col("x0") + F.col("x1")) / 2) < F.lit(122.4)).alias("is_centered"),
+    )
+
+
+# --------------------------------------------------------- aggregates
+@register("a2_modal_baseline", _PFX + "," + R._BASELINE_SQL + "\nSELECT doc_id, baseline FROM baseline")
+def a2_modal_baseline(spark, sf_dir):
+    """A2: modal font size with first-encountered tie-break — the
+    tie-break needs min(block_idx) in the ranking (analysis_new.py:69)."""
+    return R._baseline(_blocks(spark, sf_dir))
+
+
+@register(
+    "a4_heading_tiers",
+    _PFX + "," + R._BASELINE_SQL + "," + R._TIERS_SQL + "\nSELECT doc_id, tier_index, tier_size FROM tiers",
+)
+def a4_heading_tiers(spark, sf_dir):
+    """A4+A5: tier selection + outlier trim (analysis_new.py:74-86)."""
+    return R._tiers(_blocks(spark, sf_dir))
+
+
+@register(
+    "a6_pages_count",
+    _PFX + "SELECT doc_id, count(DISTINCT page_num)::BIGINT AS n_pages FROM blocks2 GROUP BY doc_id",
+)
+def a6_pages_count(spark, sf_dir):
+    """A6: exact distinct page count (analysis_new.py:123)."""
+    return _blocks(spark, sf_dir).groupBy("doc_id").agg(
+        F.countDistinct("page_num").alias("n_pages")
+    )
+
+
+@register(
+    "a7_doc_text_concat",
+    _PFX
+    + "SELECT doc_id, string_agg(lower(block_text), ' ' ORDER BY block_idx) AS doc_text FROM blocks2 GROUP BY doc_id",
+)
+def a7_doc_text_concat(spark, sf_dir):
+    """A7: order-sensitive text concatenation (analysis_new.py:243) —
+    Spark's collect_list has no order guarantee, so the order is
+    materialized via array_sort over (block_idx, text) structs."""
+    return (
+        _blocks(spark, sf_dir)
+        .select("doc_id", F.struct(F.col("block_idx"), F.lower("block_text").alias("t")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.expr("transform(array_sort(collect_list(s)), x -> x.t)")).alias(
+                "doc_text"
+            )
+        )
+    )
+
+
+@register(
+    "a8_has_numbering",
+    _PFX + "SELECT doc_id, bool_or(numbering IS NOT NULL) AS has_numbering FROM blocks2 GROUP BY doc_id",
+)
+def a8_has_numbering(spark, sf_dir):
+    """A8: any-numbering exists (analysis_new.py:239)."""
+    return (
+        _blocks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.bool_or(F.col("numbering").isNotNull()).alias("has_numbering"))
+    )
+
+
+# ------------------------------------------------------------ scoring
+@register(
+    "c_scoring_chain",
+    R.oracle_prefix() + "\nSELECT doc_id, block_idx, heading_score FROM scored",
+)
+def c_scoring_chain(spark, sf_dir):
+    """C1-C8: the full additive heading-score when-chain (SURVEY §2.7),
+    whole-stage-codegen on the Spark side."""
+    return R.scored_blocks(spark, sf_dir).select("doc_id", "block_idx", "heading_score")
+
+
+@register(
+    "f_candidate_filter",
+    R.oracle_prefix()
+    + """
+SELECT doc_id, block_idx, block_text, heading_score
+FROM scored
+WHERE heading_score >= 20
+  AND regexp_matches(block_text, '[A-Za-z]')
+  AND NOT regexp_matches(block_text, '(?i)^Version [0-9]+\\.[0-9]+')
+  AND (numbering IS NOT NULL OR font_size >= baseline * 1.05)""",
+)
+def f_candidate_filter(spark, sf_dir):
+    """F1+F2+F4: candidate gates (analysis_new.py:126-143)."""
+    s = R.scored_blocks(spark, sf_dir)
+    return s.filter(
+        (F.col("heading_score") >= 20)
+        & F.col("block_text").rlike("[A-Za-z]")
+        & ~F.col("block_text").rlike(r"(?i)^Version [0-9]+\.[0-9]+")
+        & (F.col("numbering").isNotNull() | (F.col("font_size") >= F.col("baseline") * 1.05))
+    ).select("doc_id", "block_idx", "block_text", "heading_score")
+
+
+@register(
+    "g10_top1_heading",
+    R.oracle_prefix()
+    + """
+SELECT doc_id, block_text AS heading, y0 FROM (
+  SELECT doc_id, block_text, y0,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY y0 ASC, font_size DESC, block_idx ASC) AS rn
+  FROM scored WHERE heading_score >= 20
+) WHERE rn = 1""",
+)
+def g10_top1_heading(spark, sf_dir):
+    """G10: top-1 heading by (y, -size) (analysis_new.py:322-326)."""
+    s = R.scored_blocks(spark, sf_dir).filter(F.col("heading_score") >= 20)
+    w = W.partitionBy("doc_id").orderBy(F.asc("y0"), F.desc("font_size"), F.asc("block_idx"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("block_text").alias("heading"), "y0")
+    )
+
+
+@register(
+    "g11_level_clusters",
+    R.oracle_prefix()
+    + """
+SELECT doc_id, round_size, is_bold,
+       'H' || CAST(least(rk, 6) AS VARCHAR) AS level
+FROM (
+  SELECT doc_id, round_size, is_bold,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round_size DESC, is_bold DESC) AS rk
+  FROM (
+    SELECT DISTINCT doc_id, CAST(round(font_size) AS BIGINT) AS round_size, is_bold
+    FROM scored WHERE heading_score >= 20 AND numbering IS NULL
+  )
+)""",
+)
+def g11_level_clusters(spark, sf_dir):
+    """G11: font-cluster level map — distinct (round(size), bold)
+    clusters ranked by size desc, capped at H6 (analysis_new.py:330-359)."""
+    s = R.scored_blocks(spark, sf_dir).filter(
+        (F.col("heading_score") >= 20) & F.col("numbering").isNull()
+    )
+    clusters = s.select(
+        "doc_id", F.round("font_size").cast("bigint").alias("round_size"), "is_bold"
+    ).distinct()
+    w = W.partitionBy("doc_id").orderBy(F.desc("round_size"), F.desc("is_bold"))
+    return clusters.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "round_size",
+        "is_bold",
+        F.concat(F.lit("H"), F.least(F.col("rk"), F.lit(6)).cast("string")).alias("level"),
+    )
+
+
+@register(
+    "g12_level_assign",
+    R.oracle_prefix()
+    + """
+SELECT s.doc_id, s.block_idx,
+       CASE WHEN s.numbering = 'x.' THEN 'H1'
+            WHEN s.numbering = 'x.y.' THEN 'H2'
+            WHEN s.tier_index IS NOT NULL THEN 'H' || CAST(s.tier_index + 1 AS VARCHAR)
+            ELSE 'H4' END AS level
+FROM scored s WHERE s.heading_score >= 20""",
+)
+def g12_level_assign(spark, sf_dir):
+    """G12: numbering→level map with tier fallback (analysis_new.py:370-385)."""
+    s = R.scored_blocks(spark, sf_dir).filter(F.col("heading_score") >= 20)
+    return s.select(
+        "doc_id",
+        "block_idx",
+        F.when(F.col("numbering") == "x.", "H1")
+        .when(F.col("numbering") == "x.y.", "H2")
+        .when(
+            F.col("tier_index").isNotNull(),
+            F.concat(F.lit("H"), (F.col("tier_index") + 1).cast("string")),
+        )
+        .otherwise("H4")
+        .alias("level"),
+    )
+
+
+@register(
+    "g14_first_match_y",
+    _PFX
+    + """
+SELECT doc_id, block_idx,
+       first_value(y0) OVER (PARTITION BY doc_id, block_text
+                             ORDER BY block_idx) AS first_match_y
+FROM blocks2""",
+)
+def g14_first_match_y(spark, sf_dir):
+    """G14: the sort key's first-text-match y lookup — a per-(doc,text)
+    first_value window ≡ self-join on text + min(block_idx)
+    (analysis_new.py:395)."""
+    b = _blocks(spark, sf_dir)
+    w = W.partitionBy("doc_id", "block_text").orderBy("block_idx")
+    return b.select("doc_id", "block_idx", F.first("y0").over(w).alias("first_match_y"))
+
+
+@register(
+    "f6_title_anti_join",
+    R.oracle_prefix()
+    + """
+, titles AS (
+  SELECT doc_id, block_text FROM (
+    SELECT doc_id, block_text,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY font_size DESC, block_idx ASC) AS rn
+    FROM blocks2 WHERE page_num = 0
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, count(*)::BIGINT AS n_candidates
+FROM scored s
+LEFT JOIN titles t ON s.doc_id = t.doc_id AND s.block_text = t.block_text
+WHERE s.heading_score >= 20 AND s.page_num > 0 AND t.block_text IS NULL
+GROUP BY s.doc_id""",
+)
+def f6_title_anti_join(spark, sf_dir):
+    """F6: outline emission excludes title texts + first page — the
+    title-text exclusion is a left-anti join (analysis_new.py:363-365)."""
+    b = _blocks(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy(F.desc("font_size"), F.asc("block_idx"))
+    titles = (
+        b.filter(F.col("page_num") == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "block_text")
+    )
+    s = R.scored_blocks(spark, sf_dir).filter(
+        (F.col("heading_score") >= 20) & (F.col("page_num") > 0)
+    )
+    return (
+        s.join(F.broadcast(titles), ["doc_id", "block_text"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+
+
+# ----------------------------------------------- M1 relational skeleton
+@register(
+    "m1_sessionize_events",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(DISTINCT session_id)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id""",
+)
+def m1_sessionize_events(spark, sf_dir):
+    """M1's relational skeleton: gaps-and-islands sessionization (lag →
+    break flag → running sum → segment id), the same pattern as the
+    span-merge fold minus its mutating baseline (SURVEY §2.3)."""
+    e = R.load(spark, sf_dir, "events")
+    # microsecond-exact epoch on both sides (duckdb epoch_us); a
+    # seconds-granularity cast would truncate and flip edge gaps
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------- classic OLAP proof
+@register(
+    "tpch_q1_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_agg(spark, sf_dir):
+    """Scan+filter+hash-agg proof query (pushdown visible in explain)."""
+    l = R.load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+)
+def tpch_q3_topk(spark, sf_dir):
+    """Broadcast-join + agg + top-k proof query."""
+    c = R.load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = R.load(spark, sf_dir, "orders")
+    l = R.load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
