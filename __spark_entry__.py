@@ -1,38 +1,68 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      : flagship outline-extraction pipeline over sf0.001.
+queries()    : every implemented operator from SURVEY.md §2 + the
+               training-data ops (dedup / similarity / text analysis).
+oracle_sql() : DuckDB twins for all SQL-expressible queries. The
+               order-dependent Arrow-stage queries (outline_extract,
+               html_extract) have no SQL oracle — they are covered by
+               the byte-identity pytest suite against the vendored-
+               free clean-room oracle (tests/refimpl.py, itself
+               diffed against the actual reference code).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic span payloads → full extraction
+    pipeline (parse → merge fold → 3-pass analyzer → JSON render)."""
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources.testdata import pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs, kind="spandoc")
+    return extract_pages(pages).select(
+        "url", "title", "outline", "outline_json", "parse_ok", "payload_kind"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+def _html_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources.testdata import pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs, kind="html")
+    return extract_pages(pages).select("url", "title", "main_text", "outline", "parse_ok")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extractor_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(QUERIES)
+    # non-SQL-expressible Arrow-stage pipelines (rows-only driver check;
+    # byte-identity is gated by pytest against the reference semantics)
+    q["outline_extract"] = _flagship
+    q["html_extract"] = _html_query
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extractor_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

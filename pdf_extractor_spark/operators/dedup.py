@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are pure DataFrame compositions (no Python UDFs): hashing
+uses the JVM-side ``md5`` so the same operator runs identically at
+100 TB, and every shuffle key is stated explicitly.
+
+Operators:
+  - exact_duplicates:   content-hash groupBy (exact dedup)
+  - shingles:           word n-gram shingle table (the shared substrate)
+  - ngram_jaccard_pairs: exact Jaccard over shingle sets via the
+    MapReduce pattern (shingle-join → intersection counts → union by
+    inclusion-exclusion) — no O(n²) cross join; cost is bounded by
+    shingle co-occurrence.
+  - minhash_signatures / minhash_band_pairs: MinHash + LSH banding —
+    the scale path: candidate pairs come from equality joins on band
+    keys, so the shuffle is by band key, never all-pairs.
+  - simhash32: 32-bit SimHash per document via bit-vote aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _hash64(col) -> F.Column:
+    """Deterministic 56-bit integer from md5 (portable to the DuckDB
+    oracle via ('0x' || substr(md5(x),1,14))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 14), 16, 10).cast("bigint")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the group
+    size and canonical (minimum) id."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (the substrate for
+    Jaccard / MinHash). Pure SQL expressions — stays in codegen."""
+    w = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(0, -1) is DESCENDING [0,-1], not empty —
+    # short docs must produce an empty gram array explicitly
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    MapReduce formulation: |A∩B| from a self-equi-join on shingle,
+    |A∪B| = |A|+|B|−|A∩B|. The join shuffles by shingle — at corpus
+    scale, drop ultra-frequent shingles first (they contribute pairs
+    quadratically; a standard stop-shingle cut) — here a 1000-doc cap
+    per shingle guards the same blowup.
+    """
+    sh = shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= 1000)
+    sh_f = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """k MinHash values per document: h_j(doc) = min over shingles of
+    md5(j || '|' || shingle). Equivalent to k random permutations;
+    md5-based so the DuckDB oracle reproduces it bit-for-bit."""
+    sh = shingles(docs, id_col, text_col, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        "shingle",
+    ).withColumn("h", _hash64(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle"))))
+    return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    band_size: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: documents sharing any band of ``band_size``
+    consecutive minhashes become candidate pairs. The only shuffle is
+    the equality join on (band_id, band_key) — this is what makes
+    near-dedup feasible at 10^12 documents."""
+    sig = minhash_signatures(docs, k, id_col, text_col, n)
+    bands = (
+        sig.withColumn("band_id", F.floor(F.col("j") / band_size))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                "_",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, minhash))), x -> cast(x.minhash as string))"
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per bit position, words vote +1/−1 by their
+    md5-hash bit; the sign of the vote sum sets the output bit.
+    Bit extraction uses floor(h / 2^b) % 2 — portable to DuckDB
+    (shift operators differ across dialects, power-of-two division
+    does not)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h32 = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    hashed = words.withColumn("h", h32)
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "vote",
+        F.when((F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))) % 2) == 1, 1).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(0)
+        ).alias("simhash")
+    )

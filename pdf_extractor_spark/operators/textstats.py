@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions / relational plans — each has a DuckDB
+oracle in plans/queries.py. At 100 TB these run inside the same scan
+as any other projection (no extra shuffle except the explicit
+groupBys noted per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# lang → stopword seed (public knowledge; deliberately tiny — the
+# operator shape matters, swap lexicons freely)
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a", "to", "in", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu", "von", "mit", "nicht"],
+    "fr": ["le", "la", "les", "et", "un", "est", "de", "du", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "un", "por", "que"],
+}
+
+STOPWORDS_EN = LANG_LEXICON["en"]
+
+# whitespace words | numbers | punctuation runs — a BPE-ish pre-token
+# split, identical RE2/Java semantics (no lookarounds)
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _words(text_col) -> F.Column:
+    return F.filter(F.split(text_col, " "), lambda w: w != "")
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc prose-quality signals: token count, mean word length,
+    vocabulary richness, stopword density, composite quality score."""
+    w = _words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_distinct = F.size(F.array_distinct(w))
+    # NOTE no round(): these are deterministic int divisions, so the
+    # raw doubles are bit-identical across engines — round() is NOT
+    # (Spark BigDecimal HALF_UP vs DuckDB's C rounding differ at float
+    # representation boundaries)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        (F.length(text_col) / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
+        (n_distinct / F.greatest(n_words, F.lit(1)).cast("double")).alias("distinct_ratio"),
+        (n_stop / F.greatest(n_words, F.lit(1)).cast("double")).alias("stop_ratio"),
+    ).withColumn(
+        "quality",
+        F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.col("stop_ratio") * 2.0 * 0.3
+        + F.col("distinct_ratio") * 0.3,
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: explode words, join a broadcast
+    lexicon, argmax hits per doc (tie → lexicographic lang), docs with
+    zero hits → 'und'."""
+    spark = docs.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(lang, w) for lang, ws in LANG_LEXICON.items() for w in ws],
+            schema="lang string, word string",
+        )
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    hits = words.join(lex, "word").groupBy("doc_id", "lang").agg(F.count("*").alias("hits"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best.select("doc_id", "lang", "hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("lex_hits"),
+        )
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish pre-tokenizer) count."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+        .cast("bigint")
+        .alias("re_tokens"),
+    )
+
+
+def fingerprint_kmin(
+    docs: DataFrame, k: int = 4, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """k-min-hash document fingerprint: the k smallest md5 shingle
+    hashes joined into one string — a compact sketch whose equality
+    implies near-duplication (bottom-k sketch)."""
+    from .dedup import _hash64, shingles
+
+    sh = shingles(docs, id_col, text_col, n).withColumn("h", _hash64(F.col("shingle")))
+    w = W.partitionBy("doc_id").orderBy(F.asc("h"))
+    topk = sh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy("doc_id").agg(
+        F.concat_ws(
+            "_", F.expr("transform(array_sort(collect_list(struct(rn, h))), x -> cast(x.h as string))")
+        ).alias("fingerprint")
+    )

@@ -436,3 +436,277 @@ def tpch_q3_topk(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+# ====================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ====================================================================
+from ..operators import dedup as D  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+from ..operators import textstats as T  # noqa: E402
+
+_SHINGLE_CTE = """
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+  FROM lists, LATERAL unnest(generate_series(1, greatest(len(l) - 2, 0))) AS s(i)
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (hash-shuffle on digest)."""
+    return D.exact_duplicates(R.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs via shingle self-join (MapReduce
+    inclusion-exclusion — never an all-pairs cross join)."""
+    return D.ngram_jaccard_pairs(R.load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "dedup_minhash_bands",
+    _SHINGLE_CTE
+    + """,
+mh AS (
+  SELECT doc_id, t.j,
+         min(('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || shingle), 1, 14))::BIGINT) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+  GROUP BY doc_id, t.j
+),
+bands AS (
+  SELECT doc_id, CAST(floor(j / 4.0) AS BIGINT) AS band_id,
+         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM mh GROUP BY doc_id, CAST(floor(j / 4.0) AS BIGINT)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id""",
+)
+def dedup_minhash_bands(spark, sf_dir):
+    """MinHash(k=8) + LSH banding (2 bands × 4 rows): candidate pairs
+    from band-key equality joins — the 10^12-document dedup path."""
+    return D.minhash_band_pairs(R.load(spark, sf_dir, "documents"), k=8, band_size=4)
+
+
+@register(
+    "dedup_simhash32",
+    """
+WITH w AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+wh AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w
+),
+votes AS (
+  SELECT doc_id, t.b,
+         sum(CASE WHEN CAST(floor(h / power(2, t.b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) t
+  GROUP BY doc_id, t.b
+)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id""",
+)
+def dedup_simhash32(spark, sf_dir):
+    """32-bit SimHash per document (bit-vote aggregation)."""
+    return D.simhash32(R.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+FROM c, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 — the ANN exactness
+    baseline (zip_with dot product, all JVM-side)."""
+    return S.cosine_topk(R.load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "emb_neardup_lsh",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+elem AS (
+  SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
+  FROM e, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+),
+proj AS (
+  SELECT vec_id, p.j, sum(x * CASE WHEN ('0x' || substr(md5(CAST(p.j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 1 THEN 1 ELSE -1 END) AS p
+  FROM elem CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) p
+  GROUP BY vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN p > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+),
+withv AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN e ON b.vec_id = e.vec_id),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM withv x JOIN withv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT DISTINCT a, b,
+       round(list_sum(list_transform(list_zip(va, vb), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(va, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS cosine
+FROM pairs
+WHERE round(list_sum(list_transform(list_zip(va, vb), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(va, x -> x * x)))
+               * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) >= 0.3""",
+)
+def emb_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup: 8-bit random-hyperplane LSH buckets →
+    bucket-equality join → exact-cosine filter (the scale path; the
+    bucket join replaces the all-pairs cross join)."""
+    return S.neardup_lsh(R.load(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=8)
+
+
+@register(
+    "text_quality",
+    """
+SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_ratio,
+       least(n_words / 100.0, 1.0) * 0.4 + stop_ratio * 2.0 * 0.3
+             + distinct_ratio * 0.3 AS quality
+FROM (
+  SELECT doc_id,
+         len(l)::BIGINT AS n_words,
+         length(text) / greatest(len(l), 1) AS mean_word_len,
+         len(list_distinct(l)) / greatest(len(l), 1)::DOUBLE AS distinct_ratio,
+         len(list_filter(l, x -> list_contains(['the','and','of','is','a','to','in','it','that','for'], x)))
+               / greatest(len(l), 1)::DOUBLE AS stop_ratio
+  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents)
+)""",
+)
+def text_quality(spark, sf_dir):
+    """Prose-quality scoring (length/stopword/vocabulary signals)."""
+    return T.quality_features(R.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+WITH lex(lang, word) AS (VALUES
+  ('en','the'),('en','and'),('en','of'),('en','is'),('en','a'),('en','to'),('en','in'),('en','it'),('en','that'),('en','for'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),('de','ist'),('de','zu'),('de','von'),('de','mit'),('de','nicht'),
+  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','un'),('fr','est'),('fr','de'),('fr','du'),('fr','pour'),('fr','que'),
+  ('es','el'),('es','la'),('es','los'),('es','las'),('es','y'),('es','es'),('es','de'),('es','un'),('es','por'),('es','que')
+),
+words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+hits AS (
+  SELECT w.doc_id, l.lang, count(*) AS hits
+  FROM words w JOIN lex l ON w.word = l.word
+  GROUP BY w.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang, hits FROM (
+    SELECT doc_id, lang, hits,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS predicted_lang,
+       coalesce(b.hits, 0)::BIGINT AS lex_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""",
+)
+def lang_id(spark, sf_dir):
+    """n-gram/stopword-hit language ID (broadcast lexicon join +
+    argmax window)."""
+    return T.language_id(R.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS re_tokens
+FROM documents""",
+)
+def token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex pre-tokenizer counts."""
+    return T.token_counts(R.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint_kmin",
+    _SHINGLE_CTE
+    + """,
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh
+),
+ranked AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
+  FROM hashed
+)
+SELECT doc_id, string_agg(CAST(h AS VARCHAR), '_' ORDER BY rn) AS fingerprint
+FROM ranked WHERE rn <= 4 GROUP BY doc_id""",
+)
+def fingerprint_kmin(spark, sf_dir):
+    """Bottom-k sketch fingerprint (4 smallest shingle hashes)."""
+    return T.fingerprint_kmin(R.load(spark, sf_dir, "documents"), k=4)
+
+
+@register(
+    "s4_lineage_counts",
+    """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source""",
+)
+def s4_lineage_counts(spark, sf_dir):
+    """S4 lineage analogue: per-source row/failure/byte counts — the
+    same aggregation shape io.write_result emits per partition."""
+    d = R.load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short"),
+        F.sum("n_chars").alias("total_chars"),
+    )
