@@ -54,9 +54,13 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    # per-doc dedup with array_distinct BEFORE the explode: a shingle
+    # can only repeat within its own document row, so this is exactly
+    # DISTINCT(doc_id, shingle) — without the full shuffle a global
+    # .distinct() would cost (at 10^12 docs that shuffle is the
+    # single biggest line item in the whole dedup job).
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -99,19 +103,46 @@ def ngram_jaccard_pairs(
     )
 
 
+# MinHash via affine permutations over a Mersenne-prime field: each
+# shingle is md5-hashed ONCE, then h_j = (A_j·h + B_j) mod P gives the
+# j-th permutation with two integer ops. This is the textbook
+# construction (Broder '97) and is ~k× cheaper than hashing per
+# permutation — the difference between 1M and 8M md5 calls per
+# million shingles. Constants are fixed primes < 2^31 so A·h + B
+# stays under 2^62 (no BIGINT overflow in Spark or DuckDB).
+MINHASH_PRIME = 2147483647  # 2^31 − 1
+MINHASH_A = [
+    1103515245, 1299709, 15485863, 982451653,
+    86028121, 433024223, 715225739, 2038074743,
+    122949829, 533000401, 1645333507, 695089, 2017, 479001599, 87178291199 % MINHASH_PRIME, 999999937,
+]
+MINHASH_B = [
+    12345, 543210, 998244353 % MINHASH_PRIME, 101, 7919, 900001, 65537, 2750159,
+    15098923, 104729, 32452843, 49979687, 198491317, 295075153, 4222234741 % MINHASH_PRIME, 533000389,
+]
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """k MinHash values per document: h_j(doc) = min over shingles of
-    md5(j || '|' || shingle). Equivalent to k random permutations;
-    md5-based so the DuckDB oracle reproduces it bit-for-bit."""
+    """Wide MinHash signature per document: columns mh0..mh{k-1},
+    mh_j = min over shingles of (A_j·md5_32(shingle) + B_j) mod P.
+    One md5 per shingle, one shuffle (the groupBy), no row explosion."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"k={k} exceeds the fixed constant pool ({len(MINHASH_A)})")
     sh = shingles(docs, id_col, text_col, n)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
-        "shingle",
-    ).withColumn("h", _hash64(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle"))))
-    return seeded.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    h32 = (
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+    hashed = sh.withColumn("h", h32)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(
+            f"mh{j}"
+        )
+        for j in range(k)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_pairs(
@@ -127,17 +158,13 @@ def minhash_band_pairs(
     the equality join on (band_id, band_key) — this is what makes
     near-dedup feasible at 10^12 documents."""
     sig = minhash_signatures(docs, k, id_col, text_col, n)
-    bands = (
-        sig.withColumn("band_id", F.floor(F.col("j") / band_size))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                "_",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(j, minhash))), x -> cast(x.minhash as string))"
-                ),
-            ).alias("band_key")
-        )
+    nb = k // band_size
+    stack_args = []
+    for bi in range(nb):
+        cols = ", ".join(f"mh{j}" for j in range(bi * band_size, (bi + 1) * band_size))
+        stack_args.append(f"{bi}, concat_ws('_', {cols})")
+    bands = sig.selectExpr(
+        "doc_id", f"stack({nb}, {', '.join(stack_args)}) as (band_id, band_key)"
     )
     a = bands.select(F.col("doc_id").alias("a"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("b"), "band_id", "band_key")

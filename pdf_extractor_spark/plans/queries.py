@@ -491,25 +491,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(R.load(spark, sf_dir, "documents"), threshold=0.2)
 
 
-@register(
-    "dedup_minhash_bands",
-    _SHINGLE_CTE
-    + """,
-mh AS (
-  SELECT doc_id, t.j,
-         min(('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || shingle), 1, 14))::BIGINT) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
-  GROUP BY doc_id, t.j
+def _minhash_oracle_sql(k: int = 8, band_size: int = 4) -> str:
+    """DuckDB twin of dedup.minhash_signatures/minhash_band_pairs,
+    generated from the SAME affine-permutation constants."""
+    P = D.MINHASH_PRIME
+    mins = ",\n         ".join(
+        f"min(({D.MINHASH_A[j]} * h + {D.MINHASH_B[j]}) % {P}) AS mh{j}" for j in range(k)
+    )
+    nb = k // band_size
+    band_selects = []
+    for bi in range(nb):
+        cols = ", ".join(f"mh{j}" for j in range(bi * band_size, (bi + 1) * band_size))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band_id, concat_ws('_', {cols}) AS band_key FROM sig"
+        )
+    return (
+        _SHINGLE_CTE
+        + f""",
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {P} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(floor(j / 4.0) AS BIGINT) AS band_id,
-         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY j) AS band_key
-  FROM mh GROUP BY doc_id, CAST(floor(j / 4.0) AS BIGINT)
+  {" UNION ALL ".join(band_selects)}
 )
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
-  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id""",
-)
+  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id"""
+    )
+
+
+@register("dedup_minhash_bands", _minhash_oracle_sql(8, 4))
 def dedup_minhash_bands(spark, sf_dir):
     """MinHash(k=8) + LSH banding (2 bands × 4 rows): candidate pairs
     from band-key equality joins — the 10^12-document dedup path."""

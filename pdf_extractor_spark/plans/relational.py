@@ -26,7 +26,20 @@ PAGE_WIDTH = 612.0
 # Deterministic blocks derivation (shared Spark/DuckDB semantics)
 # --------------------------------------------------------------------
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan a testdata table, fanning out single-split files.
+
+    The driver's small parquet files arrive as ONE scan partition (a
+    single row group), which would serialize every downstream compute
+    stage on local[N]. On a real cluster a 100 TB table scans as
+    thousands of splits, so the repartition is skipped there
+    (partitions >= defaultParallelism) — this costs nothing at scale
+    and makes local parallelism honest.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        df = df.repartition(target)
+    return df
 
 
 def derived_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:

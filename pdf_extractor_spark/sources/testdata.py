@@ -75,11 +75,23 @@ _PAGES_OUT = "url string, html binary, text string, lang string"
 
 
 def pages_from_documents(docs: DataFrame, kind: str = "spandoc") -> DataFrame:
-    """documents(doc_id, text, lang, ...) → pages rows with payloads."""
+    """documents(doc_id, text, lang, ...) → pages rows with payloads.
+
+    The scan is fanned out on doc_id-hash BEFORE the heavy payload +
+    extraction stages: a small parquet file arrives as 1 split, which
+    would serialize the whole compute pipeline.  At 100 TB the scan is
+    naturally parallel and the repartition is skipped (partitions >=
+    cluster parallelism), so this costs nothing at scale while making
+    local scaling honest.  north_rule: explicit url-hash partitioning.
+    """
     fn = _spandoc_batches if kind == "spandoc" else _html_batches
+    slim = docs.select("doc_id", "text", "lang")
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target, F.xxhash64("doc_id"))
     return (
-        docs.select("doc_id", "text", "lang")
-        .mapInPandas(fn, schema=_PAGES_OUT)
+        slim.mapInPandas(fn, schema=_PAGES_OUT)
         .withColumn("warc_ts", F.lit("2025-01-01 00:00:00").cast("timestamp"))
         .select("url", "warc_ts", "html", "text", "lang")
     )
