@@ -31,14 +31,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from pdf_extractor_spark import corpus, io as pio
     from pdf_extractor_spark.operators.extract import extract_pages
-    from pdf_extractor_spark.schemas import PAGES_SCHEMA
     from pdf_extractor_spark.session import get_spark
 
     spark = get_spark("pdf_extractor_cli")
     t0 = time.time()
     if args.synthesize:
-        rows = corpus.build_pages_rows(args.synthesize, seed=args.seed)
-        pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+        # synthesized on the executors (corpus.distributed_pages) — a
+        # driver-side row build would serialize the scan stand-in and
+        # poison any scaling measurement
+        pages = corpus.distributed_pages(spark, args.synthesize, seed=args.seed)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:

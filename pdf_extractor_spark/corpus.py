@@ -213,32 +213,54 @@ def random_html(rng: random.Random) -> bytes:
 _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
 
+def build_pages_row(i: int, seed: int = 42, html_fraction: float = 0.25) -> dict:
+    """One deterministic pages-table row. Depends ONLY on (i, seed) —
+    order-free, so synthesis distributes across executors with no
+    driver bottleneck and corpus(N) is always a prefix of corpus(M>N)
+    (required for meaningful resume tests)."""
+    r = random.Random(seed * 1_000_003 + i)  # per-doc stream
+    # host pool independent of n_docs; Zipf-ish skew: host0 is hot
+    # (north rule's skewed-host scenario).
+    host = f"host{min(r.randint(0, 31), r.randint(0, 31))}.example.com"
+    url = f"https://{host}/doc/{i:06d}"
+    ts = _EPOCH + dt.timedelta(seconds=i * 37)
+    roll = r.random()
+    if i % 41 == 7:  # deterministic ~2.4% corrupt slice (S4 path)
+        payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
+        lang = "und"
+    elif roll < html_fraction:
+        payload = random_html(r)
+        lang = r.choice(["en", "de", "fr", "es"])
+    else:
+        payload = spandoc_to_payload(random_spandoc(r))
+        lang = "en"
+    return {"url": url, "warc_ts": ts, "html": payload, "text": None, "lang": lang}
+
+
 def build_pages_rows(n_docs: int, seed: int = 42, html_fraction: float = 0.25) -> list[dict]:
     """Deterministic pages-table rows. ~html_fraction of rows carry HTML
     payloads, the rest spandocs; a small slice is corrupt (S4 path)."""
     rng = random.Random(seed)
-    rows = []
-    for i in range(n_docs):
-        r = random.Random(seed * 1_000_003 + i)  # per-doc stream → order-free determinism
-        # host pool independent of n_docs so corpus(N) is a prefix of
-        # corpus(M>N) — required for meaningful resume tests. Zipf-ish
-        # skew: host0 is hot (north rule's skewed-host scenario).
-        host = f"host{min(r.randint(0, 31), r.randint(0, 31))}.example.com"
-        url = f"https://{host}/doc/{i:06d}"
-        ts = _EPOCH + dt.timedelta(seconds=i * 37)
-        roll = r.random()
-        if i % 41 == 7:  # deterministic ~2.4% corrupt slice (S4 path)
-            payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
-            lang = "und"
-        elif roll < html_fraction:
-            payload = random_html(r)
-            lang = r.choice(["en", "de", "fr", "es"])
-        else:
-            payload = spandoc_to_payload(random_spandoc(r))
-            lang = "en"
-        rows.append({"url": url, "warc_ts": ts, "html": payload, "text": None, "lang": lang})
+    rows = [build_pages_row(i, seed, html_fraction) for i in range(n_docs)]
     rng.shuffle(rows)  # de-correlate url order from generation order
     return rows
+
+
+def distributed_pages(spark, n_docs: int, seed: int = 42, html_fraction: float = 0.25):
+    """pages DataFrame synthesized ON THE EXECUTORS (mapInPandas over
+    spark.range) — no driver-side row building, so corpus generation
+    scales with cores exactly like a real WARC scan would."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [build_pages_row(int(i), seed, html_fraction) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism * 4  # even slices
+    return spark.range(0, n_docs, 1, n_parts).mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
 
 
 # ------------------------------------------------- testdata adapter
