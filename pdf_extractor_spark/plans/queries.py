@@ -725,3 +725,67 @@ def s4_lineage_counts(spark, sf_dir):
         F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# -------------------------------------------------------- multimodal
+# Payload DECODE work is pixel-dependent (no SQL twin; covered by the
+# numpy-reference pytest suite), but the synthesis + schema PLUMBING
+# is a pure function of doc_id — so meta projection, frame-sampling
+# cardinality, and audio duration all get full value-hash oracles.
+from ..operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "mm_image_meta",
+    """
+SELECT doc_id AS media_id,
+       (16 + doc_id % 48)::INT AS width,
+       (16 + (doc_id * 7) % 48)::INT AS height,
+       3::INT AS channels
+FROM documents""",
+)
+def mm_image_meta(spark, sf_dir):
+    """Multimodal plumbing: image rows with typed meta struct; the
+    meta columns are deterministic in doc_id (multimodal.py synthesis
+    contract), so the whole distributed synthesis + struct projection
+    path is value-hash-checked against SQL."""
+    m = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="image")
+    return m.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+SELECT doc_id AS media_id,
+       (((4 + doc_id % 12) + 1) // 2)::BIGINT AS n_sampled,
+       (((4 + doc_id % 12) + 1) // 2 - 1) * 2 AS max_frame_idx
+FROM documents""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame sampling (every 2nd frame): per-clip sampled-frame
+    count and max sampled index — the explode cardinality contract."""
+    vids = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="video")
+    frames = MM.sample_frames(vids, every_k=2)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").cast("long").alias("max_frame_idx"),
+    )
+
+
+@register(
+    "mm_audio_duration",
+    """
+SELECT doc_id AS media_id, 16000 AS sample_rate,
+       ((1000 + (doc_id * 31) % 4000) // 16)::INT AS duration_ms
+FROM documents""",
+)
+def mm_audio_duration(spark, sf_dir):
+    """Audio decode plumbing: sample_rate + duration from the packed
+    header, checked against the synthesis contract in SQL."""
+    aud = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="audio")
+    return MM.audio_features(aud).select("media_id", "sample_rate", "duration_ms")

@@ -17,3 +17,8 @@ def spark():
 
     s = get_spark("pdf_extractor_spark_tests", shuffle_partitions=8)
     yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
