@@ -789,3 +789,55 @@ def mm_audio_duration(spark, sf_dir):
     header, checked against the synthesis contract in SQL."""
     aud = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="audio")
     return MM.audio_features(aud).select("media_id", "sample_rate", "duration_ms")
+
+
+# --------------------------------------------------------- streaming
+# The streaming transformations are plain DataFrame functions, so the
+# SAME code is registered here in batch mode with DuckDB oracles; the
+# streaming execution path (file source → watermark → availableNow →
+# foreachBatch commit) is exercised by tests/test_streaming.py.
+from ..streaming import pipeline as STRM  # noqa: E402
+
+
+@register(
+    "stream_windowed_counts",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Tumbling 1h window + watermark aggregation (batch twin)."""
+    out = STRM.windowed_event_counts(R.load(spark, sf_dir, "events"))
+    # NTZ for the oracle compare (session tz is UTC, so this is lossless)
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@register(
+    "stream_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id""",
+)
+def stream_session_windows(spark, sf_dir):
+    """F.session_window gap sessionization (batch twin of the
+    streaming stateful operator; new session at gap >= 30 min)."""
+    out = STRM.session_windows(R.load(spark, sf_dir, "events"))
+    return out.withColumn("session_start", F.col("session_start").cast("timestamp_ntz")) \
+              .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))

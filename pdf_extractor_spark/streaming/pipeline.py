@@ -1,0 +1,116 @@
+"""Structured Streaming surface.
+
+The reference is pure batch (SURVEY.md §2.10: no streaming anywhere in
+/root/reference), so this layer is the Spark-native extension a
+continuously-crawled corpus needs:
+
+  - ``stream_extract``: incremental extraction — a file-source stream
+    of pages micro-batched through the SAME ``extract_pages`` plan and
+    committed through the SAME bucketed writer (foreachBatch →
+    io.write_result append). Checkpointing makes the job restartable;
+    the url-level idempotency of the batch resume path carries over.
+  - ``windowed_event_counts``: tumbling-window counts with a watermark
+    (late-data bound) over an events stream.
+  - ``session_windows``: gap-based sessionization via
+    ``F.session_window`` — the streaming twin of the batch
+    m1_sessionize_events query (same 30-min gap semantics).
+
+Everything is a plain DataFrame transformation, so each works
+identically on a batch frame (unit tests run both ways; the batch
+result is the oracle for the availableNow streaming run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..schemas import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
+    """File-source stream of pages parquet (one micro-batch per file
+    group). maxFilesPerTrigger bounds micro-batch payload volume — the
+    streaming analogue of size-aware repartitioning."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    available_now: bool = True,
+):
+    """Run the extraction pipeline incrementally; every micro-batch is
+    committed through the batch writer (bucketed layout + cumulative
+    lineage manifest), so downstream consumers cannot tell whether a
+    snapshot was produced by the batch or the streaming job."""
+    from .. import io as pio
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # url-level idempotency: the file source dedups FILES, but a
+        # crawler can re-ship an already-extracted url in a new file;
+        # the same anti-join the batch resume path uses makes the
+        # streaming commit exactly-once per url
+        pending = pio.filter_pending(batch_df, out_dir)
+        result = extract_pages(pending, keep_failed=True)
+        pio.write_result(result, out_dir, n_buckets=n_buckets, mode="append")
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts; the watermark bounds state for
+    late events (required for streaming, a no-op on batch frames)."""
+    # watermarks require tz-aware TIMESTAMP; parquet events arrive NTZ
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark) if src.isStreaming else src
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (session closes after
+    ``gap`` of inactivity) — F.session_window keeps state per key and
+    is the idiomatic streaming form of the batch lag+cumsum
+    sessionization."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark) if src.isStreaming else src
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
