@@ -841,3 +841,240 @@ def stream_session_windows(spark, sf_dir):
     out = STRM.session_windows(R.load(spark, sf_dir, "events"))
     return out.withColumn("session_start", F.col("session_start").cast("timestamp_ntz")) \
               .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+
+
+# --------------------------------------------- remaining §2 line items
+@register(
+    "a1_body_subset",
+    _PFX
+    + """
+SELECT doc_id,
+       sum(CASE WHEN char_count > 10 AND font_size >= 8 THEN 1 ELSE 0 END)::BIGINT AS n_body,
+       (sum(CASE WHEN char_count > 10 AND font_size >= 8 THEN 1 ELSE 0 END) = 0) AS used_fallback
+FROM blocks2 GROUP BY doc_id""",
+)
+def a1_body_subset(spark, sf_dir):
+    """A1: body-subset filter with empty-fallback flag
+    (analysis_new.py:67)."""
+    b = _blocks(spark, sf_dir)
+    is_body = F.when((F.col("char_count") > 10) & (F.col("font_size") >= 8), 1).otherwise(0)
+    return b.groupBy("doc_id").agg(
+        F.sum(is_body).alias("n_body"),
+        (F.sum(is_body) == 0).alias("used_fallback"),
+    )
+
+
+@register(
+    "g1_first_page_sort",
+    _PFX
+    + """
+SELECT doc_id, block_idx,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY font_size DESC, y0 ASC, block_idx ASC) AS rank
+FROM blocks2 WHERE page_num = 0""",
+)
+def g1_first_page_sort(spark, sf_dir):
+    """G1: first-page blocks ranked by (−font_size, y)
+    (analysis_new.py:146-151)."""
+    b = _blocks(spark, sf_dir).filter(F.col("page_num") == 0)
+    w = W.partitionBy("doc_id").orderBy(F.desc("font_size"), F.asc("y0"), F.asc("block_idx"))
+    return b.select("doc_id", "block_idx", F.row_number().over(w).alias("rank"))
+
+
+@register(
+    "g2_title_threshold",
+    _PFX
+    + """
+SELECT doc_id, block_idx FROM (
+  SELECT doc_id, block_idx, font_size,
+         max(font_size) OVER (PARTITION BY doc_id) AS max_fs
+  FROM blocks2 WHERE page_num = 0
+) WHERE font_size >= 0.85 * max_fs""",
+)
+def g2_title_threshold(spark, sf_dir):
+    """G2: title candidates ≥ 0.85·max first-page size
+    (analysis_new.py:156-161) — filter vs a doc-window max."""
+    b = _blocks(spark, sf_dir).filter(F.col("page_num") == 0)
+    w = W.partitionBy("doc_id")
+    return (
+        b.withColumn("max_fs", F.max("font_size").over(w))
+        .filter(F.col("font_size") >= 0.85 * F.col("max_fs"))
+        .select("doc_id", "block_idx")
+    )
+
+
+@register(
+    "f5_poster_field_drop",
+    _PFX + "," + R._BASELINE_SQL
+    + """
+SELECT b.doc_id, b.block_idx
+FROM blocks2 b JOIN baseline USING (doc_id)
+WHERE NOT regexp_matches(upper(b.block_text), '^(ADDRESS:|RSVP:|DATE:|TIME:|FOR:)')
+  AND NOT regexp_matches(b.block_text, 'www\\.|\\.com|@|[0-9]{5}|\\([0-9]{3}\\)')
+  AND NOT (b.char_count > 50 AND b.font_size < baseline.baseline)""",
+)
+def f5_poster_field_drop(spark, sf_dir):
+    """F5: poster field-label / URL / phone / long-small drops
+    (analysis_new.py:253-260)."""
+    b = _blocks(spark, sf_dir)
+    base = R._baseline(b)
+    return (
+        b.join(F.broadcast(base), "doc_id")
+        .filter(
+            ~F.upper("block_text").rlike("^(ADDRESS:|RSVP:|DATE:|TIME:|FOR:)")
+            & ~F.col("block_text").rlike(r"www\.|\.com|@|[0-9]{5}|\([0-9]{3}\)")
+            & ~((F.col("char_count") > 50) & (F.col("font_size") < F.col("baseline")))
+        )
+        .select("doc_id", "block_idx")
+    )
+
+
+@register(
+    "g7_poster_detect",
+    _PFX
+    + """,
+doc_text AS (
+  SELECT doc_id, string_agg(lower(block_text), ' ' ORDER BY block_idx) AS t
+  FROM blocks2 GROUP BY doc_id
+)
+SELECT doc_id,
+       ((CASE WHEN t LIKE '%party%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%invited%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%rsvp%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%hope%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%see you%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%address:%' THEN 1 ELSE 0 END) >= 2
+        OR
+        (CASE WHEN t LIKE '%date:%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%time:%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%for:%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%address:%' THEN 1 ELSE 0 END +
+         CASE WHEN t LIKE '%rsvp:%' THEN 1 ELSE 0 END) >= 3) AS is_poster
+FROM doc_text""",
+)
+def g7_poster_detect(spark, sf_dir):
+    """G7: keyword-vote poster/form detection over A7's concatenated
+    text (analysis_new.py:241-249)."""
+    b = _blocks(spark, sf_dir)
+    t = (
+        b.select("doc_id", F.struct("block_idx", F.lower("block_text").alias("t")).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.expr("transform(array_sort(collect_list(s)), x -> x.t)")).alias("t"))
+    )
+    def has(kw):
+        return F.when(F.col("t").contains(kw), 1).otherwise(0)
+    party = sum([has(k) for k in ["party", "invited", "rsvp", "hope", "see you", "address:"]], F.lit(0))
+    fields = sum([has(k) for k in ["date:", "time:", "for:", "address:", "rsvp:"]], F.lit(0))
+    return t.select("doc_id", ((party >= 2) | (fields >= 3)).alias("is_poster"))
+
+
+@register(
+    "g9_best_phrase",
+    _PFX
+    + """
+SELECT doc_id, block_idx AS best_block, block_text
+FROM (
+  SELECT doc_id, block_idx, block_text,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY font_size DESC, char_count DESC, block_idx ASC) AS rn
+  FROM blocks2
+) WHERE rn = 1""",
+)
+def g9_best_phrase(spark, sf_dir):
+    """G9: top-1 'best phrase' by (max size, weight) — the max_by /
+    row_number top-k pattern (analysis_new.py:295-306)."""
+    b = _blocks(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy(F.desc("font_size"), F.desc("char_count"), F.asc("block_idx"))
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("block_idx").alias("best_block"), "block_text")
+    )
+
+
+@register(
+    "g13_outline_decorate",
+    _PFX
+    + """
+SELECT doc_id, block_idx, rtrim(block_text) || ' ' AS decorated
+FROM blocks2""",
+)
+def g13_outline_decorate(spark, sf_dir):
+    """G13: outline text decoration — strip then guarantee one
+    trailing space (analysis_new.py:387-390)."""
+    return _blocks(spark, sf_dir).select(
+        "doc_id", "block_idx", F.concat(F.rtrim("block_text"), F.lit(" ")).alias("decorated")
+    )
+
+
+@register(
+    "tpch_q5_join_chain",
+    """
+SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name""",
+)
+def tpch_q5_join_chain(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join chain with small-dim broadcasts —
+    exercises Catalyst join reordering + broadcast strategy."""
+    c = R.load(spark, sf_dir, "customer")
+    o = R.load(spark, sf_dir, "orders")
+    l = R.load(spark, sf_dir, "lineitem")
+    s = R.load(spark, sf_dir, "supplier")
+    n = R.load(spark, sf_dir, "nation")
+    r = R.load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 4).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------ skew handling
+from ..operators import skew as SK  # noqa: E402
+
+
+@register(
+    "skew_salted_topk",
+    """
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= 5""",
+)
+def skew_salted_topk(spark, sf_dir):
+    """Salted two-phase per-key top-k (north rule: skewed-host guard).
+    The oracle is the DIRECT window rank — proving the salted plan is
+    result-identical while bounding task size under key skew."""
+    d = R.load(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    return SK.salted_topk(
+        d.select("lang", "doc_id", "doc_key", "n_chars"),
+        key="lang", order_col="n_chars", tiebreak="doc_key", k=5, salt=8,
+    ).select("lang", "doc_id", "n_chars", "rank")
+
+
+@register(
+    "skew_distinct_count",
+    """
+SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct
+FROM documents GROUP BY lang""",
+)
+def skew_distinct_count(spark, sf_dir):
+    """Two-stage exact distinct count — the skew-safe COUNT(DISTINCT)
+    rewrite (shuffle on high-cardinality (key, val) first)."""
+    return SK.salted_distinct_count(R.load(spark, sf_dir, "documents"), "lang", "source")
