@@ -112,3 +112,80 @@ def neardup_lsh(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ------------------------------------------------------------- IVF-Flat
+def ivf_cells(
+    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse quantizer assignment (IVF): each vector goes to the cell
+    of its highest-cosine centroid. Centroids are the first ``n_cells``
+    vectors (deterministic sampled seeding — the offline analogue of a
+    trained coarse codebook; swap in k-means centroids at deploy time
+    without touching the plan shape). Broadcast join + JVM array math:
+    one narrow pass over the corpus, no shuffle until the groupBy."""
+    from pyspark.sql import Window as W
+
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cand = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    scored = cand.join(F.broadcast(cents)).select(
+        id_col,
+        "cell_id",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(id_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search: probe the query's ``nprobe`` nearest cells and
+    run exact cosine only inside them — the 10^12-vector scale path
+    (search cost drops by ~n_cells/nprobe; at scale the cell id is
+    also the partition key, so a probe touches nprobe partitions).
+    Same output schema as cosine_topk; recall < 1.0 by construction."""
+    cells = ivf_cells(emb, n_cells, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        _as_double(F.col(vec_col)).alias("qv")
+    )
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            (_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cand = (
+        emb.join(cells, id_col)
+        .join(F.broadcast(qcells), "cell_id")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

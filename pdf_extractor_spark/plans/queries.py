@@ -1078,3 +1078,54 @@ def skew_distinct_count(spark, sf_dir):
     """Two-stage exact distinct count — the skew-safe COUNT(DISTINCT)
     rewrite (shuffle on high-cardinality (key, val) first)."""
     return SK.salted_distinct_count(R.load(spark, sf_dir, "documents"), "lang", "source")
+
+
+# ------------------------------------------------------------ IVF ANN
+@register(
+    "ann_ivf_topk",
+    """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM vecs WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT s.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             (list_sum(list_transform(list_zip(s.v, c.cv), z -> z[1] * z[2]))
+              / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.cv, x -> x * x))))) DESC,
+             c.cell_id ASC) AS rn
+    FROM vecs s CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+qcells AS (
+  SELECT cell_id FROM cents, q
+  ORDER BY (list_sum(list_transform(list_zip(cv, qv), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+               * sqrt(list_sum(list_transform(qv, x -> x * x))))) DESC,
+           cell_id ASC
+  LIMIT 4
+)
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(v, qv), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+FROM vecs s
+JOIN assign USING (vec_id)
+JOIN qcells USING (cell_id)
+CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: coarse-cell assignment + nprobe-cell exact search
+    — the scale path next to the ann_cosine_topk brute-force baseline.
+    The oracle replicates the same algorithm, so results match exactly
+    (recall vs brute force is a separate, measured property)."""
+    return S.ivf_topk(R.load(spark, sf_dir, "embeddings"), query_vec_id=0,
+                      k=10, n_cells=16, nprobe=4)
