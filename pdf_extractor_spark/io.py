@@ -129,3 +129,42 @@ def filter_pending(pages: DataFrame, out_dir: str) -> DataFrame:
     except Exception:
         return pages  # nothing committed yet
     return pages.join(done, "url", "left_anti")
+
+
+def size_aware_repartition(
+    df: DataFrame,
+    payload_col: str = "html",
+    target_partition_bytes: int = 64 << 20,
+    big_threshold: int = 4 << 20,
+    key_col: str = "url",
+) -> DataFrame:
+    """Size-aware repartitioning (north rule: no executor OOMs from
+    oversized documents at 10^12-doc scale).
+
+    Row-count-based repartitioning puts a partition's worth of 100 MB
+    scans next to a partition of 2 KB pages; this sizes partitions by
+    PAYLOAD BYTES instead:
+
+      - one cheap aggregate (column-pruned length scan; on Iceberg use
+        file/row-group metadata and skip the pass) sizes the small-doc
+        pool to ~target_partition_bytes per partition;
+      - oversized docs (> big_threshold) are split into their own
+        hash-spread partition pool sized so even a partition of ONLY
+        giant docs stays near target — a single hot partition can
+        never accumulate many giants.
+
+    Arrow batch rows stay capped separately (session.py), so worker
+    memory is bounded by min(batch_rows · max_doc, partition bytes).
+    """
+    plen = F.length(payload_col).cast("long")
+    stats = df.select(
+        F.sum(F.when(plen <= big_threshold, plen).otherwise(0)).alias("small_bytes"),
+        F.sum(F.when(plen > big_threshold, plen).otherwise(0)).alias("big_bytes"),
+    ).first()
+    small_bytes = stats["small_bytes"] or 0
+    big_bytes = stats["big_bytes"] or 0
+    n_small = max(1, int(small_bytes // target_partition_bytes) + 1)
+    n_big = max(1, int(big_bytes // target_partition_bytes) + 1)
+    small = df.filter(plen <= big_threshold).repartition(n_small, F.xxhash64(key_col))
+    big = df.filter(plen > big_threshold).repartition(n_big, F.xxhash64(key_col))
+    return small.unionByName(big)

@@ -72,3 +72,28 @@ def parse_payload(payload: Optional[bytes]) -> tuple[str, Optional[list[dict]]]:
     if kind == "pdf":
         return kind, parse_pdf(payload)
     return kind, None
+
+
+def pages_from_binary_files(spark, input_dir: str, glob: str = "*.[pP][dD][fF]"):
+    """S1 parity (extract_outline.py:149-155): directory scan of raw
+    payload files via Spark's binaryFile source — the local-files twin
+    of the Iceberg pages scan. Case-insensitive ``*.pdf`` matching
+    mirrors the reference's suffix filter; file path becomes the url,
+    mtime the warc_ts. The source splits by file, so parallelism =
+    file count (fine: one doc = one unit of work, same as mp.Pool in
+    the reference)."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(input_dir)
+    )
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -114,3 +114,39 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (n_events, total_value) maintained in explicit
+    group state across micro-batches, emitting the updated row per
+    user per batch. This is the escape hatch for operators Spark's
+    built-in aggregations can't express (per-key custom accumulators,
+    decaying counters, online sketches); the final emitted row per
+    user equals the batch groupBy aggregate — the test oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -79,3 +79,35 @@ def test_keep_failed_false_filters(spark):
     pages_df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
     kept = extract_pages(pages_df, keep_failed=False)
     assert kept.filter(~kept.parse_ok).count() == 0
+
+
+def test_binary_file_source_s1_parity(spark, tmp_path):
+    """S1: directory scan with case-insensitive *.pdf filter via the
+    binaryFile source; extraction over scanned files matches direct
+    payload extraction."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources.payload import pages_from_binary_files
+
+    d = tmp_path / "input"
+    d.mkdir()
+    payloads = {}
+    for i, ext in zip(range(6), ["pdf", "PDF", "pdf", "Pdf", "txt", "pdf"]):
+        pages = corpus.random_spandoc(__import__("random").Random(1000 + i))
+        raw = corpus.spandoc_to_payload(pages)
+        (d / f"doc{i}.{ext}").write_bytes(raw)
+        if ext.lower() == "pdf":
+            payloads[f"doc{i}.{ext}"] = raw
+
+    scanned = pages_from_binary_files(spark, str(d))
+    got = {r["url"].rsplit("/", 1)[-1]: r for r in extract_pages(scanned).collect()}
+    assert set(got) == set(payloads)  # .txt excluded, case-insensitive .pdf kept
+    # equivalence with direct extraction on the same bytes
+    import pandas as pd
+    from pdf_extractor_spark.operators.extract import _process_batch
+
+    direct = _process_batch(
+        pd.DataFrame({"url": list(payloads), "html": list(payloads.values())})
+    )
+    for name, row in zip(direct["url"], direct["outline_json"]):
+        assert got[name]["outline_json"] == row

@@ -113,3 +113,73 @@ def test_streaming_aggregations_run_with_watermark(spark, tmp_path):
         got = {tuple(r) for r in spark.table(name).collect()}
         want = {tuple(r) for r in fn(events).collect()}
         assert got == want
+
+
+def test_size_aware_repartition_bounds_partition_bytes(spark):
+    """A few giant payloads must not co-locate with a full partition
+    of normal docs (north rule: size-aware repartitioning)."""
+    import pyspark.sql.functions as F
+
+    normal = spark.range(400).select(
+        F.concat(F.lit("https://h/n"), F.col("id")).alias("url"),
+        F.expr("cast(repeat('x', 2048) as binary)").alias("html"),
+    )
+    giant = spark.range(3).select(
+        F.concat(F.lit("https://h/g"), F.col("id")).alias("url"),
+        F.expr("cast(repeat('y', 1048576) as binary)").alias("html"),
+    )
+    pages = normal.unionByName(giant)
+    out = pio.size_aware_repartition(
+        pages, target_partition_bytes=1 << 20, big_threshold=64 << 10
+    )
+    sizes = (
+        out.select(F.spark_partition_id().alias("p"), F.length("html").alias("b"))
+        .groupBy("p")
+        .agg(F.sum("b").alias("bytes"), F.count("*").alias("rows"), F.max("b").alias("max_b"))
+        .collect()
+    )
+    # no partition exceeds target + one max doc...
+    for r in sizes:
+        assert r["bytes"] <= (1 << 20) + (1 << 20), r
+    # ...and partitions holding giants hold ONLY giants (no mixing
+    # with the 400-doc small pool)
+    giant_parts = [r for r in sizes if r["max_b"] > 64 << 10]
+    assert giant_parts and all(r["rows"] <= 3 for r in giant_parts)
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user state accumulated across
+    micro-batches; the last emitted row per user must equal the plain
+    batch aggregate."""
+    import pyspark.sql.functions as F
+
+    ev_dir = str(tmp_path / "events")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(5).write.mode("overwrite").parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 2).parquet(ev_dir)
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        STRM.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode appends one row per user per micro-batch that touched
+    # it; the LAST row per user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()  # memory sink preserves batch order
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("t"))
+        .collect()
+    }
+    assert got == want
