@@ -1129,3 +1129,60 @@ def ann_ivf_topk(spark, sf_dir):
     (recall vs brute force is a separate, measured property)."""
     return S.ivf_topk(R.load(spark, sf_dir, "embeddings"), query_vec_id=0,
                       k=10, n_cells=16, nprobe=4)
+
+
+# ------------------------------------------- §2.10 breadth: rollup/date/json
+@register(
+    "rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n, round(sum(l_extendedprice), 4) AS total
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_lineitem(spark, sf_dir):
+    """GROUPING SETS/ROLLUP: hierarchical subtotals in one pass
+    (partial-aggregated by Catalyst like any hash agg)."""
+    return (
+        R.load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "date_functions_events",
+    """
+SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+       dayofweek(ts)::INT AS dow,
+       count(*)::BIGINT AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2""",
+)
+def date_functions_events(spark, sf_dir):
+    """Date/time function surface: trunc, day-of-week extraction,
+    grouped aggregates over timestamps."""
+    e = R.load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month"),
+        # Spark dayofweek: Sunday=1 (same as DuckDB's default dayofweek()+1 shift handled below)
+        (F.dayofweek("ts") - 1).alias("dow"),
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+@register(
+    "json_props_extract",
+    """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
+)
+def json_props_extract(spark, sf_dir):
+    """JSON column surface: parse the props JSON string JVM-side
+    (get_json_object — no Python) and aggregate an extracted field."""
+    e = R.load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
