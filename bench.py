@@ -42,11 +42,13 @@ HEADLINE = [
     "html_extract",         # HTML boilerplate strip path
     "tpch_q1_agg",          # wide hash aggregate over lineitem (600k rows @ sf0.1)
     "tpch_q3_topk",         # 3-way join + agg + top-k
+    "tpch_q5_join_chain",   # 6-table broadcast join chain
     "m1_sessionize_events", # gaps-and-islands sessionization (window + cumsum)
     "dedup_exact",          # hash-groupBy dedup over documents
     "dedup_minhash_bands",  # MinHash+LSH band-bucket near-dup
     "dedup_simhash32",      # SimHash hamming near-dup
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
+    "ann_ivf_topk",         # IVF-Flat ANN (nprobe cell search)
     "emb_neardup_lsh",      # LSH-bucketed embedding near-dup (scale path)
     "lang_id",              # n-gram language heuristic
     "text_quality",         # quality scoring over documents
