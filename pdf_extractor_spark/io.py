@@ -150,3 +150,23 @@ def size_aware_repartition(
     small = df.filter(plen <= big_threshold).repartition(n_small, F.xxhash64(key_col))
     big = df.filter(plen > big_threshold).repartition(n_big, F.xxhash64(key_col))
     return small.unionByName(big)
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, n_buckets: int = 32, key: str = "url", sort: bool = True
+) -> None:
+    """Persist as a Spark bucketed table (bucketBy on the join key).
+
+    This is the parquet-catalog twin of Iceberg's bucket(N, url)
+    transform: two tables bucketed the same way join WITHOUT any
+    exchange (the SortMergeJoin reads co-located buckets directly) —
+    at 10^12 documents the enrichment joins (result ⋈ labels,
+    result ⋈ crawl-metadata) would otherwise each reshuffle the whole
+    corpus. Requires a session with a warehouse dir (any Spark
+    default); `sort=True` also pre-sorts within buckets so the join
+    skips its sort.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
