@@ -113,3 +113,57 @@ def fingerprint_kmin(
             "_", F.expr("transform(array_sort(collect_list(struct(rn, h))), x -> cast(x.h as string))")
         ).alias("fingerprint")
     )
+
+
+def fingerprint_winnow(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    rolling k-gram char hashes; from every ``window`` consecutive
+    hashes keep the minimum (right-most on ties, via position in the
+    ordering) — the classic local-algorithm guarantee that any
+    sufficiently long match between two documents shares a selected
+    hash. Output: one row per distinct selected hash per document.
+
+    Pure JVM expressions: substring k-grams, md5-based 32-bit hash, a
+    sliding min window over position order. The shuffle key is doc_id
+    (the window partition) — bounded by document count, not gram
+    count, after the map-side distinct.
+    """
+    from pyspark.sql import Window as W
+
+    n_grams = F.length(F.col(text_col)) - k + 1
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams.cast("int")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.substring(F.col(text_col), i, k).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        (
+            F.conv(F.substring(F.md5(F.col("g.gram").cast("binary")), 1, 8), 16, 10).cast("bigint")
+        ).alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    selected = grams.withColumn("wmin", F.min("h").over(w)).filter(
+        (F.col("pos") >= window) & (F.col("h") == F.col("wmin"))
+    )
+    return selected.select("doc_id", F.col("h").alias("fingerprint")).distinct()

@@ -1186,3 +1186,28 @@ def json_props_extract(spark, sf_dir):
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "fingerprint_winnow",
+    """
+WITH grams AS (
+  SELECT doc_id, s.i AS pos,
+         ('0x' || substr(md5(substr(text, s.i::INT, 8)), 1, 8))::BIGINT AS h
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text) - 7, 0))) AS s(i)
+),
+winmin AS (
+  SELECT doc_id, pos, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM grams
+)
+SELECT DISTINCT doc_id, h AS fingerprint
+FROM winmin WHERE pos >= 4 AND h = wmin""",
+)
+def fingerprint_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprint (k=8 char grams, window=4):
+    sliding-window minima of rolling k-gram hashes — the standard
+    local document fingerprint for plagiarism/overlap detection."""
+    return T.fingerprint_winnow(R.load(spark, sf_dir, "documents"), k=8, window=4)
