@@ -32,8 +32,11 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = pages_from_documents(docs, kind="spandoc")
+    # Driver-facing shape: scalar columns only. The hierarchical outline
+    # rides as its byte-exact JSON string (outline_json) — the driver's
+    # canonicalizer sorts values per column and cannot hash array<struct>.
     return extract_pages(pages).select(
-        "url", "title", "outline", "outline_json", "parse_ok", "payload_kind"
+        "url", "title", "outline_json", "parse_ok", "payload_kind"
     )
 
 
@@ -48,7 +51,10 @@ def _html_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = pages_from_documents(docs, kind="html")
-    return extract_pages(pages).select("url", "title", "main_text", "outline", "parse_ok")
+    # Scalar-only shape for the driver canonicalizer (see _flagship).
+    return extract_pages(pages).select(
+        "url", "title", "main_text", "outline_json", "parse_ok"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5,8 +5,9 @@ the binary column carries the document bytes):
   - ``spandoc``  — the span-table serialization produced by a PDF
     parser (the engine's contract boundary, SURVEY.md §5.2; no PDF
     library ships in this environment, so this IS the PDF path).
-  - ``pdf``      — raw %PDF bytes; parsed only if PyMuPDF is importable
-    (import-try), else reported as a parse failure (S4 semantics).
+  - ``pdf``      — raw %PDF bytes; parsed with PyMuPDF when importable
+    (import-try), else with the pure-Python parser in pdfparse.py.
+    Malformed PDFs raise → S4 failure rows.
   - ``html``     — raw HTML bytes → DOM boilerplate-stripping path.
 Anything else is ``unknown`` → parse failure, counted in lineage.
 """
@@ -46,10 +47,14 @@ def parse_spandoc(payload: bytes) -> list[dict]:
 
 
 def parse_pdf(payload: bytes) -> list[dict]:
-    """Real-PDF branch behind an import-try; emits the same span-table
-    shape as parse_spandoc so everything downstream is identical."""
+    """Real-PDF branch: PyMuPDF when importable (reference parity path,
+    extract_outline.py:19-35), else the pure-Python parser (pdfparse.py)
+    — both emit the same span-table shape as parse_spandoc so everything
+    downstream is identical."""
     if not _HAS_FITZ:
-        raise NotImplementedError("PyMuPDF not available in this environment")
+        from . import pdfparse
+
+        return pdfparse.extract_spans(payload)
     doc = fitz.open(stream=payload, filetype="pdf")  # pragma: no cover
     pages = []  # pragma: no cover
     for page in doc:  # pragma: no cover

@@ -1,0 +1,1270 @@
+"""Pure-Python PDF text extraction → spandoc page/line/span shape.
+
+Closes the reference's real-input gap (extract_outline.py:19-35 uses
+PyMuPDF's ``page.get_text("dict")``): this module parses raw ``%PDF``
+bytes with no third-party library and emits the same pages structure
+the rest of the pipeline consumes —
+
+    [{"width": w, "blocks": [[[span, ...line spans]], ...]}, ...]
+    span = {"text": str, "bbox": [x0, y0, x1, y1], "font": str,
+            "size": float}
+
+with fitz-style top-down page coordinates, so span_merge / analyzer
+run unchanged downstream.
+
+Feature set is scoped to what the reference's five fixture PDFs
+(/root/reference/input/file01..05.pdf) actually use, plus the common
+cases around them:
+  - classic xref tables AND cross-reference streams (/Type/XRef,
+    /W columns, PNG Predictor ≥10), /Prev chains, hybrid /XRefStm
+  - object streams (/Type/ObjStm)
+  - FlateDecode (+ASCIIHexDecode); image filters are never decoded
+  - simple fonts (Type1/TrueType): /Widths, /Encoding base +
+    /Differences via an Adobe-Glyph-List subset, ToUnicode CMaps
+  - composite fonts (Type0 / Identity-H, CIDFontType2): 2-byte
+    codes, /W + /DW widths, ToUnicode bfchar/bfrange
+  - content streams: q/Q/cm, BT/ET, Tf/Td/TD/Tm/T*/TL/Tc/Tw/Tz/Ts,
+    Tj/TJ/'/", inline-image skip (BI..EI), Form XObjects (Do)
+
+This is NOT a general-purpose PDF library: encrypted files, LZW,
+Type3 fonts, and vertical writing raise/parse-fail, which the caller
+converts to S4 failure rows (extract_outline.py:116-124 semantics).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Optional
+
+# --------------------------------------------------------------------------
+# Object model
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):  # pragma: no cover - debug only
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """PDF name object; subclass of str so dict keys compare naturally."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw", "_data", "_doc")
+
+    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument"):
+        self.dict = d
+        self.raw = raw
+        self._data: Optional[bytes] = None
+        self._doc = doc
+
+    def data(self) -> bytes:
+        if self._data is None:
+            self._data = _decode_stream(self.dict, self.raw, self._doc)
+        return self._data
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_REGULAR_END = _WS + _DELIM
+
+
+class Lexer:
+    """Tokenizer + recursive-descent parser for PDF object syntax."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n:
+            c = buf[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                e = buf.find(b"\n", self.pos)
+                e2 = buf.find(b"\r", self.pos)
+                if e < 0 or (0 <= e2 < e):
+                    e = e2
+                self.pos = n if e < 0 else e + 1
+            else:
+                return
+
+    def peek_byte(self) -> int:
+        self._skip_ws()
+        return self.buf[self.pos] if self.pos < len(self.buf) else -1
+
+    def _read_regular(self) -> bytes:
+        start = self.pos
+        buf, n = self.buf, len(self.buf)
+        while self.pos < n and buf[self.pos] not in _REGULAR_END:
+            self.pos += 1
+        return buf[start : self.pos]
+
+    def read_name(self) -> Name:
+        # caller consumed '/'
+        tok = self._read_regular()
+        if b"#" in tok:
+            out = bytearray()
+            i = 0
+            while i < len(tok):
+                if tok[i : i + 1] == b"#" and i + 2 < len(tok) + 1:
+                    try:
+                        out.append(int(tok[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(tok[i])
+                i += 1
+            tok = bytes(out)
+        return Name(tok.decode("latin-1"))
+
+    def read_literal_string(self) -> bytes:
+        # caller consumed '('
+        buf, n = self.buf, len(self.buf)
+        out = bytearray()
+        depth = 1
+        i = self.pos
+        while i < n:
+            c = buf[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= n:
+                    break
+                e = buf[i]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    i += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    i += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    val = 0
+                    k = 0
+                    while k < 3 and i < n and 0x30 <= buf[i] <= 0x37:
+                        val = val * 8 + (buf[i] - 0x30)
+                        i += 1
+                        k += 1
+                    out.append(val & 0xFF)
+                elif e == 0x0D:  # line continuation
+                    i += 1
+                    if i < n and buf[i] == 0x0A:
+                        i += 1
+                elif e == 0x0A:
+                    i += 1
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.pos = i
+        return bytes(out)
+
+    def read_hex_string(self) -> bytes:
+        # caller consumed '<'
+        e = self.buf.find(b">", self.pos)
+        if e < 0:
+            e = len(self.buf)
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.buf[self.pos : e])
+        self.pos = e + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def read_object(self, doc: Optional["PdfDocument"] = None) -> Any:
+        self._skip_ws()
+        buf, n = self.buf, len(self.buf)
+        if self.pos >= n:
+            raise PdfError("unexpected EOF")
+        c = buf[self.pos]
+        if c == 0x2F:  # /
+            self.pos += 1
+            return self.read_name()
+        if c == 0x28:  # (
+            self.pos += 1
+            return self.read_literal_string()
+        if c == 0x3C:  # < or <<
+            if buf[self.pos : self.pos + 2] == b"<<":
+                self.pos += 2
+                return self._read_dict_body(doc)
+            self.pos += 1
+            return self.read_hex_string()
+        if c == 0x5B:  # [
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.pos >= n:
+                    break
+                if buf[self.pos] == 0x5D:
+                    self.pos += 1
+                    break
+                arr.append(self.read_object(doc))
+            return arr
+        tok = self._read_regular()
+        if not tok:
+            # lone delimiter we don't handle (e.g. stray ')' or '>')
+            self.pos += 1
+            return None
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number — possibly "num gen R" reference
+        try:
+            if b"." in tok or b"e" in tok or b"E" in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            return Name(tok.decode("latin-1", "replace"))
+        save = self.pos
+        self._skip_ws()
+        m = re.match(rb"(\d+)\s+R(?![A-Za-z0-9])", buf[self.pos : self.pos + 24])
+        if m and num >= 0:
+            # confirm the middle token really was a generation number
+            self.pos += m.end()
+            return Ref(num, int(m.group(1)))
+        self.pos = save
+        return num
+
+    def _read_dict_body(self, doc: Optional["PdfDocument"]) -> Any:
+        d: dict = {}
+        buf, n = self.buf, len(self.buf)
+        while True:
+            self._skip_ws()
+            if self.pos >= n:
+                break
+            if buf[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if buf[self.pos] != 0x2F:
+                # malformed key — bail out of the dict
+                self.read_object(doc)
+                continue
+            self.pos += 1
+            key = self.read_name()
+            d[key] = self.read_object(doc)
+        # stream?
+        save = self.pos
+        self._skip_ws()
+        if buf[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if buf[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.pos < n and buf[self.pos] in b"\r\n":
+                self.pos += 1
+            length = d.get("Length")
+            if doc is not None and isinstance(length, Ref):
+                length = doc.resolve(length)
+            if not isinstance(length, int):
+                length = None
+            start = self.pos
+            if length is not None and start + length <= n:
+                end = start + length
+                # sanity: endstream should follow (allow slack)
+                if buf.find(b"endstream", end, end + 32) < 0 and buf.find(
+                    b"endstream", start
+                ) >= 0:
+                    end = buf.find(b"endstream", start)
+                    while end > start and buf[end - 1] in b"\r\n":
+                        end -= 1
+            else:
+                end = buf.find(b"endstream", start)
+                if end < 0:
+                    end = n
+                while end > start and buf[end - 1] in b"\r\n":
+                    end -= 1
+            raw = buf[start:end]
+            es = buf.find(b"endstream", end)
+            self.pos = (es + 9) if es >= 0 else end
+            return Stream(d, raw, doc)  # type: ignore[arg-type]
+        self.pos = save
+        return d
+
+
+class PdfError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Stream filters
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    columns = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if pred >= 10:
+        return _png_unpredict(data, columns, colors, bpc)
+    if pred == 2:  # TIFF predictor, 8-bit only
+        if bpc != 8:
+            raise PdfError("TIFF predictor with bpc != 8")
+        row = columns * colors
+        out = bytearray(data)
+        for r in range(0, len(out) - row + 1, row):
+            for j in range(colors, row):
+                out[r + j] = (out[r + j] + out[r + j - colors]) & 0xFF
+        return bytes(out)
+    raise PdfError(f"unsupported predictor {pred}")
+
+
+_IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF"}
+
+
+def _decode_stream(d: dict, raw: bytes, doc: Optional["PdfDocument"]) -> bytes:
+    filters = d.get("Filter")
+    if doc is not None:
+        filters = doc.resolve(filters)
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = d.get("DecodeParms", d.get("DP"))
+    if doc is not None:
+        parms = doc.resolve(parms)
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms):
+        if doc is not None:
+            f, p = doc.resolve(f), doc.resolve(p)
+        p = p if isinstance(p, dict) else {}
+        if f in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                # salvage: raw deflate or trailing garbage
+                try:
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    data = zlib.decompressobj(-15).decompress(data)
+            data = _apply_predictor(data, p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+            data = _apply_predictor(data, p)
+        elif f in ("ASCII85Decode", "A85"):
+            import base64
+
+            body = data.split(b"~>")[0]
+            body = re.sub(rb"\s", b"", body)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            data = base64.a85decode(body)
+            data = _apply_predictor(data, p)
+        elif f in _IMAGE_FILTERS:
+            # image payload — never needed for text; return raw
+            return data
+        else:
+            raise PdfError(f"unsupported filter {f}")
+    return data
+
+
+# --------------------------------------------------------------------------
+# Document: xref chain + object store
+
+
+class PdfDocument:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.xref: dict[int, tuple] = {}  # num -> ("n", offset) | ("o", objstm_num, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, Any] = {}
+        self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._load_xref()
+        if not self.xref:
+            self._scan_all_objects()
+
+    # -- xref ------------------------------------------------------------
+    def _load_xref(self) -> None:
+        tail = self.buf[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            return
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen and 0 <= offset < len(self.buf):
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int:
+        lex = Lexer(self.buf, offset)
+        lex._skip_ws()
+        if self.buf[lex.pos : lex.pos + 4] == b"xref":
+            return self._load_xref_table(lex.pos + 4)
+        # xref stream: "num gen obj <<...>> stream"
+        try:
+            obj = self._parse_indirect_at(offset)
+        except PdfError:
+            return 0
+        if not isinstance(obj, Stream):
+            return 0
+        self._load_xref_stream(obj)
+        prev = obj.dict.get("Prev")
+        return prev if isinstance(prev, int) else 0
+
+    def _load_xref_table(self, pos: int) -> int:
+        lex = Lexer(self.buf, pos)
+        while True:
+            lex._skip_ws()
+            if self.buf[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                tdict = lex.read_object(self)
+                if isinstance(tdict, dict):
+                    for k, v in tdict.items():
+                        self.trailer.setdefault(k, v)
+                    xstm = tdict.get("XRefStm")
+                    if isinstance(xstm, int):
+                        try:
+                            stm = self._parse_indirect_at(xstm)
+                            if isinstance(stm, Stream):
+                                self._load_xref_stream(stm)
+                        except PdfError:
+                            pass
+                    prev = tdict.get("Prev")
+                    return prev if isinstance(prev, int) else 0
+                return 0
+            m = re.match(rb"(\d+)\s+(\d+)", self.buf[lex.pos : lex.pos + 40])
+            if not m:
+                return 0
+            start, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            lex._skip_ws()
+            for i in range(count):
+                ent = self.buf[lex.pos : lex.pos + 20]
+                em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", ent)
+                if not em:
+                    em = re.match(rb"\s*(\d+)\s+(\d+)\s+([nf])", ent)
+                    if not em:
+                        return 0
+                num = start + i
+                if em.group(3) == b"n" and num not in self.xref:
+                    self.xref[num] = ("n", int(em.group(1)))
+                # advance: strict entries are exactly 20 bytes
+                lex.pos += 20 if len(em.group(0)) >= 18 else em.end()
+
+    def _load_xref_stream(self, stm: Stream) -> None:
+        d = stm.dict
+        w = [self.resolve(x) for x in d.get("W", [1, 1, 1])]
+        size = self.resolve(d.get("Size", 0))
+        index = self.resolve(d.get("Index")) or [0, size]
+        data = stm.data()
+        for k, v in d.items():
+            if k not in ("Prev",):
+                self.trailer.setdefault(k, v)
+        rw = sum(w)
+        pos = 0
+        for s in range(0, len(index) - 1, 2):
+            start, count = index[s], index[s + 1]
+            for i in range(count):
+                if pos + rw > len(data):
+                    return
+                fields = []
+                for width in w:
+                    val = 0
+                    for _ in range(width):
+                        val = (val << 8) | data[pos]
+                        pos += 1
+                    fields.append(val)
+                ftype = fields[0] if w[0] else 1
+                num = start + i
+                if num in self.xref:
+                    continue
+                if ftype == 1:
+                    self.xref[num] = ("n", fields[1])
+                elif ftype == 2:
+                    self.xref[num] = ("o", fields[1], fields[2])
+
+    def _scan_all_objects(self) -> None:
+        """Last-resort recovery: regex every 'N G obj' in the file."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.buf):
+            self.xref.setdefault(int(m.group(1)), ("n", m.start()))
+        tm = self.buf.rfind(b"trailer")
+        if tm >= 0:
+            lex = Lexer(self.buf, tm + 7)
+            try:
+                t = lex.read_object(self)
+                if isinstance(t, dict):
+                    for k, v in t.items():
+                        self.trailer.setdefault(k, v)
+            except PdfError:
+                pass
+
+    # -- objects ---------------------------------------------------------
+    def _parse_indirect_at(self, offset: int) -> Any:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.buf[offset : offset + 64])
+        if not m:
+            raise PdfError(f"no obj at {offset}")
+        lex = Lexer(self.buf, offset + m.end())
+        return lex.read_object(self)
+
+    def get_object(self, num: int) -> Any:
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        obj = None
+        if ent is None:
+            obj = None
+        elif ent[0] == "n":
+            try:
+                obj = self._parse_indirect_at(ent[1])
+            except PdfError:
+                obj = None
+        else:  # object stream
+            obj = self._objstm_object(ent[1], num)
+        self._cache[num] = obj
+        return obj
+
+    def _objstm_object(self, stm_num: int, want: int) -> Any:
+        tbl = self._objstm_cache.get(stm_num)
+        if tbl is None:
+            tbl = {}
+            stm = self.get_object(stm_num)
+            if isinstance(stm, Stream):
+                data = stm.data()
+                n = self.resolve(stm.dict.get("N", 0))
+                first = self.resolve(stm.dict.get("First", 0))
+                hdr = Lexer(data, 0)
+                pairs = []
+                try:
+                    for _ in range(n):
+                        onum = hdr.read_object(self)
+                        ooff = hdr.read_object(self)
+                        pairs.append((onum, ooff))
+                except PdfError:
+                    pass
+                for onum, ooff in pairs:
+                    try:
+                        tbl[onum] = Lexer(data, first + ooff).read_object(self)
+                    except (PdfError, IndexError):
+                        tbl[onum] = None
+            self._objstm_cache[stm_num] = tbl
+        return tbl.get(want)
+
+    def resolve(self, obj: Any, depth: int = 0) -> Any:
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    # -- page tree -------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("no document catalog")
+        if "Encrypt" in self.trailer:
+            raise PdfError("encrypted PDF not supported")
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+        if isinstance(tree, dict):
+            self._walk_pages(tree, {}, out, set())
+        return out
+
+    _INHERIT = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+    def _walk_pages(self, node: dict, inherited: dict, out: list, seen: set) -> None:
+        nid = id(node)
+        if nid in seen or len(out) > 10000:
+            return
+        seen.add(nid)
+        inh = dict(inherited)
+        for k in self._INHERIT:
+            if k in node:
+                inh[k] = node[k]
+        ntype = node.get("Type")
+        kids = self.resolve(node.get("Kids"))
+        if ntype == "Page" or (kids is None and "Contents" in node):
+            page = dict(node)
+            for k, v in inh.items():
+                page.setdefault(k, v)
+            out.append(page)
+            return
+        if isinstance(kids, list):
+            for kid in kids:
+                kid = self.resolve(kid)
+                if isinstance(kid, dict):
+                    self._walk_pages(kid, inh, out, seen)
+
+
+# --------------------------------------------------------------------------
+# Fonts
+
+# Adobe Glyph List subset: the names that show up in /Differences arrays
+# of office-suite and TeX-produced PDFs (public AGL, Adobe).
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "fi": "ﬁ", "fl": "ﬂ",
+    "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "florin": "ƒ", "fraction": "⁄", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "minus": "−", "periodcentered": "·", "middot": "·",
+    "nbspace": " ", "exclamdown": "¡", "cent": "¢",
+    "sterling": "£", "currency": "¤", "yen": "¥",
+    "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "ordfeminine": "ª", "logicalnot": "¬", "macron": "¯",
+    "paragraph": "¶", "cedilla": "¸", "ordmasculine": "º",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "Euro": "€",
+    "circumflex": "ˆ", "caron": "ˇ", "tilde": "˜",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "acute": "´",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ", "Zcaron": "Ž", "zcaron": "ž",
+}
+# single-letter and accented-letter names map via unicodedata-free rules:
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_c] = _c
+for _base, _ch in [
+    ("Aacute", "Á"), ("aacute", "á"), ("Agrave", "À"),
+    ("agrave", "à"), ("Acircumflex", "Â"), ("acircumflex", "â"),
+    ("Adieresis", "Ä"), ("adieresis", "ä"), ("Atilde", "Ã"),
+    ("atilde", "ã"), ("Aring", "Å"), ("aring", "å"),
+    ("AE", "Æ"), ("ae", "æ"), ("Ccedilla", "Ç"),
+    ("ccedilla", "ç"), ("Eacute", "É"), ("eacute", "é"),
+    ("Egrave", "È"), ("egrave", "è"), ("Ecircumflex", "Ê"),
+    ("ecircumflex", "ê"), ("Edieresis", "Ë"), ("edieresis", "ë"),
+    ("Iacute", "Í"), ("iacute", "í"), ("Igrave", "Ì"),
+    ("igrave", "ì"), ("Icircumflex", "Î"), ("icircumflex", "î"),
+    ("Idieresis", "Ï"), ("idieresis", "ï"), ("Ntilde", "Ñ"),
+    ("ntilde", "ñ"), ("Oacute", "Ó"), ("oacute", "ó"),
+    ("Ograve", "Ò"), ("ograve", "ò"), ("Ocircumflex", "Ô"),
+    ("ocircumflex", "ô"), ("Odieresis", "Ö"), ("odieresis", "ö"),
+    ("Otilde", "Õ"), ("otilde", "õ"), ("Oslash", "Ø"),
+    ("oslash", "ø"), ("Uacute", "Ú"), ("uacute", "ú"),
+    ("Ugrave", "Ù"), ("ugrave", "ù"), ("Ucircumflex", "Û"),
+    ("ucircumflex", "û"), ("Udieresis", "Ü"), ("udieresis", "ü"),
+    ("Yacute", "Ý"), ("yacute", "ý"), ("ydieresis", "ÿ"),
+    ("Thorn", "Þ"), ("thorn", "þ"), ("Eth", "Ð"),
+    ("eth", "ð"), ("germandbls", "ß"), ("sharps", "ß"),
+]:
+    _AGL[_base] = _ch
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16)) for i in range(3, len(name) - 3 + 1, 4)
+            )
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    m = re.match(r"(?:g|cid|G)(\d+)$", name)
+    if m:
+        return ""  # glyph-id name with no unicode meaning
+    return ""
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap → code→str map."""
+    out: dict[int, str] = {}
+    txt = data
+
+    def _hex2int(h: bytes) -> int:
+        return int(h, 16)
+
+    def _hex2str(h: bytes) -> str:
+        b = bytes.fromhex(h.decode("ascii"))
+        if len(b) % 2:
+            b = b"\x00" + b
+        try:
+            s = b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            s = b.decode("latin-1", "replace")
+        return s
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", txt, re.S):
+        for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[_hex2int(cm.group(1))] = _hex2str(cm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", txt, re.S):
+        body = m.group(1)
+        # <lo> <hi> <dst>  |  <lo> <hi> [<d1> <d2> ...]
+        pos = 0
+        pat = re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+        )
+        for cm in pat.finditer(body):
+            lo, hi = _hex2int(cm.group(1)), _hex2int(cm.group(2))
+            dst = cm.group(3)
+            if dst.startswith(b"["):
+                vals = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, v in enumerate(vals):
+                    if lo + i <= hi:
+                        out[lo + i] = _hex2str(v)
+            else:
+                base = dst.strip(b"<>")
+                s = _hex2str(base)
+                if len(s) == 1:
+                    b0 = ord(s)
+                    for c in range(lo, min(hi, lo + 65535) + 1):
+                        out[c] = chr(b0 + (c - lo))
+                else:
+                    # multi-char base: increment last code unit
+                    b0 = ord(s[-1])
+                    for c in range(lo, min(hi, lo + 65535) + 1):
+                        out[c] = s[:-1] + chr(b0 + (c - lo))
+    return out
+
+
+class Font:
+    """Unified simple/composite font: decode(bytes) -> [(unicode, width_1000, code)]."""
+
+    def __init__(self, doc: PdfDocument, fdict: dict):
+        self.doc = doc
+        self.d = fdict
+        self.subtype = doc.resolve(fdict.get("Subtype"))
+        base = doc.resolve(fdict.get("BaseFont")) or "Unknown"
+        # fitz strips the 6-char subset prefix "ABCDEF+"
+        name = str(base)
+        if re.match(r"^[A-Z]{6}\+", name):
+            name = name[7:]
+        self.name = name
+        self.two_byte = False
+        self.tounicode: dict[int, str] = {}
+        tu = doc.resolve(fdict.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self.tounicode = _parse_tounicode(tu.data())
+            except Exception:
+                self.tounicode = {}
+        self.default_width = 500.0
+        self.widths: dict[int, float] = {}
+        self.ascent = 0.8
+        self.descent = -0.2
+        if self.subtype == "Type0":
+            self._init_type0()
+        else:
+            self._init_simple()
+
+    def _init_descriptor(self, desc: Any) -> None:
+        desc = self.doc.resolve(desc)
+        if isinstance(desc, dict):
+            a = self.doc.resolve(desc.get("Ascent"))
+            de = self.doc.resolve(desc.get("Descent"))
+            mw = self.doc.resolve(desc.get("MissingWidth"))
+            if isinstance(a, (int, float)) and a:
+                self.ascent = float(a) / 1000.0
+            if isinstance(de, (int, float)) and de:
+                self.descent = float(de) / 1000.0
+            if isinstance(mw, (int, float)):
+                self.default_width = float(mw)
+
+    def _init_simple(self) -> None:
+        doc = self.doc
+        self._init_descriptor(self.d.get("FontDescriptor"))
+        fc = doc.resolve(self.d.get("FirstChar"))
+        ws = doc.resolve(self.d.get("Widths"))
+        if isinstance(fc, int) and isinstance(ws, list):
+            for i, w in enumerate(ws):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    self.widths[fc + i] = float(w)
+        # encoding map code -> unicode
+        self.enc: dict[int, str] = {}
+        enc = doc.resolve(self.d.get("Encoding"))
+        base_codec = "cp1252"
+        diffs = None
+        if isinstance(enc, Name) or isinstance(enc, str):
+            base_codec = self._codec_for(str(enc))
+        elif isinstance(enc, dict):
+            be = doc.resolve(enc.get("BaseEncoding"))
+            if be:
+                base_codec = self._codec_for(str(be))
+            diffs = doc.resolve(enc.get("Differences"))
+        for code in range(256):
+            try:
+                ch = bytes([code]).decode(base_codec)
+            except UnicodeDecodeError:
+                ch = ""
+            self.enc[code] = ch
+        if isinstance(diffs, list):
+            cur = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    cur = int(item)
+                elif isinstance(item, (Name, str)):
+                    u = _glyph_to_unicode(str(item))
+                    if u:
+                        self.enc[cur] = u
+                    cur += 1
+
+    @staticmethod
+    def _codec_for(enc_name: str) -> str:
+        if "WinAnsi" in enc_name:
+            return "cp1252"
+        if "MacRoman" in enc_name:
+            return "mac_roman"
+        return "cp1252"  # StandardEncoding ≈ latin for the common range
+
+    def _init_type0(self) -> None:
+        doc = self.doc
+        self.two_byte = True  # Identity-H / UCS2 CMaps: 2-byte codes
+        desc_fonts = doc.resolve(self.d.get("DescendantFonts"))
+        self.default_width = 1000.0
+        if isinstance(desc_fonts, list) and desc_fonts:
+            df = doc.resolve(desc_fonts[0])
+            if isinstance(df, dict):
+                self._init_descriptor(df.get("FontDescriptor"))
+                dw = doc.resolve(df.get("DW"))
+                if isinstance(dw, (int, float)):
+                    self.default_width = float(dw)
+                else:
+                    self.default_width = 1000.0
+                warr = doc.resolve(df.get("W"))
+                if isinstance(warr, list):
+                    i = 0
+                    while i < len(warr):
+                        c = doc.resolve(warr[i])
+                        if i + 1 < len(warr) and isinstance(
+                            doc.resolve(warr[i + 1]), list
+                        ):
+                            lst = doc.resolve(warr[i + 1])
+                            for j, w in enumerate(lst):
+                                w = doc.resolve(w)
+                                if isinstance(w, (int, float)):
+                                    self.widths[int(c) + j] = float(w)
+                            i += 2
+                        elif i + 2 < len(warr):
+                            c2 = doc.resolve(warr[i + 1])
+                            w = doc.resolve(warr[i + 2])
+                            if isinstance(w, (int, float)):
+                                for cc in range(int(c), int(c2) + 1):
+                                    self.widths[cc] = float(w)
+                            i += 3
+                        else:
+                            break
+
+    def decode(self, s: bytes) -> list[tuple[str, float, int]]:
+        """→ [(unicode_text, width_in_1000ths, code)] per glyph."""
+        out = []
+        if self.two_byte:
+            for i in range(0, len(s) - 1, 2):
+                code = (s[i] << 8) | s[i + 1]
+                txt = self.tounicode.get(code)
+                if txt is None:
+                    txt = "�" if code else ""
+                out.append((txt, self.widths.get(code, self.default_width), code))
+            if len(s) % 2:  # trailing odd byte
+                code = s[-1]
+                out.append((self.tounicode.get(code, ""), self.default_width, code))
+        else:
+            for code in s:
+                txt = self.tounicode.get(code)
+                if txt is None:
+                    txt = self.enc.get(code, "")
+                out.append((txt, self.widths.get(code, self.default_width), code))
+        return out
+
+
+# --------------------------------------------------------------------------
+# Content-stream interpreter
+
+
+def _mat_mul(a: tuple, b: tuple) -> tuple:
+    """3x2 affine: [a b c d e f] row-vector convention (PDF 9.4.4)."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+def _mat_apply(m: tuple, x: float, y: float) -> tuple[float, float]:
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class _RawSpan:
+    __slots__ = ("text", "x0", "y0", "x1", "y1", "baseline", "font", "size", "order")
+
+    def __init__(self, text, x0, y0, x1, y1, baseline, font, size, order):
+        self.text = text
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.baseline = baseline
+        self.font = font
+        self.size = size
+        self.order = order
+
+
+class ContentInterpreter:
+    """Executes one page's content, collecting raw device-space spans."""
+
+    def __init__(self, doc: PdfDocument, resources: dict, page_height: float):
+        self.doc = doc
+        self.page_height = page_height
+        self.spans: list[_RawSpan] = []
+        self._order = 0
+        self._font_cache: dict[int, Font] = {}
+        self._resources = resources
+
+    def _font_for(self, resources: dict, name: str) -> Optional[Font]:
+        fonts = self.doc.resolve(resources.get("Font"))
+        if not isinstance(fonts, dict):
+            return None
+        fref = fonts.get(name)
+        key = fref.num if isinstance(fref, Ref) else id(fref)
+        if key in self._font_cache:
+            return self._font_cache[key]
+        fdict = self.doc.resolve(fref)
+        font = Font(self.doc, fdict) if isinstance(fdict, dict) else None
+        self._font_cache[key] = font
+        return font
+
+    def run(self, content: bytes, depth: int = 0, ctm: tuple = _IDENT,
+            resources: Optional[dict] = None) -> None:
+        if depth > 8:
+            return
+        res = resources if resources is not None else self._resources
+        doc = self.doc
+        stack: list[Any] = []
+        gs_stack: list[tuple] = []
+        font: Optional[Font] = None
+        tfs = 0.0
+        tc = 0.0
+        tw = 0.0
+        tz = 100.0
+        tl = 0.0
+        ts = 0.0
+        tm = _IDENT
+        tlm = _IDENT
+        lex = Lexer(content, 0)
+        n = len(content)
+
+        def show(payload: Any) -> None:
+            nonlocal tm
+            if font is None or not isinstance(payload, (bytes, list)):
+                return
+            items = payload if isinstance(payload, list) else [payload]
+            text_parts: list[str] = []
+            # glyph-space advance accumulated in text space units
+            x_start, y_start = _mat_apply(_mat_mul(tm, ctm), 0.0, ts)
+            xcur = 0.0  # advance along baseline in unscaled text space
+            for item in items:
+                if isinstance(item, (int, float)):
+                    xcur -= item / 1000.0 * tfs * (tz / 100.0)
+                    continue
+                if not isinstance(item, bytes):
+                    continue
+                for uni, w1000, code in font.decode(item):
+                    adv = (w1000 / 1000.0 * tfs + tc) * (tz / 100.0)
+                    if not font.two_byte and code == 32:
+                        adv += tw * (tz / 100.0)
+                    text_parts.append(uni)
+                    xcur += adv
+            text = "".join(text_parts)
+            trm = _mat_mul(tm, ctm)
+            # effective font size = |(0, tfs)| under the full transform
+            scale_y = (trm[2] ** 2 + trm[3] ** 2) ** 0.5
+            scale_x = (trm[0] ** 2 + trm[1] ** 2) ** 0.5
+            eff_size = tfs * scale_y
+            x_end, _ = _mat_apply(trm, xcur, ts)
+            # device-space bbox (assume horizontal text; rotated text
+            # degrades to its baseline extent, which is fine for goldens)
+            asc = font.ascent * tfs * scale_y
+            desc = font.descent * tfs * scale_y
+            y_base_dev = y_start
+            ph = self.page_height
+            y_top = ph - (y_base_dev + asc)
+            y_bot = ph - (y_base_dev + desc)
+            x0, x1 = min(x_start, x_end), max(x_start, x_end)
+            if text:
+                self.spans.append(
+                    _RawSpan(
+                        text, x0, min(y_top, y_bot), x1, max(y_top, y_bot),
+                        ph - y_base_dev, font.name, eff_size, self._order,
+                    )
+                )
+                self._order += 1
+            # advance text matrix
+            tm = _mat_mul((1, 0, 0, 1, xcur, 0), tm)
+
+        while lex.pos < n:
+            lex._skip_ws()
+            if lex.pos >= n:
+                break
+            c = content[lex.pos]
+            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
+                0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)
+            ):
+                try:
+                    stack.append(lex.read_object(doc))
+                except PdfError:
+                    break
+                continue
+            start = lex.pos
+            while lex.pos < n and content[lex.pos] not in _REGULAR_END:
+                lex.pos += 1
+            if lex.pos == start:
+                lex.pos += 1
+                continue
+            op = content[start : lex.pos]
+
+            try:
+                if op == b"q":
+                    gs_stack.append(ctm)
+                elif op == b"Q":
+                    if gs_stack:
+                        ctm = gs_stack.pop()
+                elif op == b"cm" and len(stack) >= 6:
+                    m = tuple(float(v) for v in stack[-6:])
+                    ctm = _mat_mul(m, ctm)
+                elif op == b"BT":
+                    tm = tlm = _IDENT
+                elif op == b"ET":
+                    pass
+                elif op == b"Tf" and len(stack) >= 2:
+                    tfs = float(stack[-1])
+                    fname = stack[-2]
+                    if isinstance(fname, str):
+                        font = self._font_for(res, fname)
+                elif op == b"Td" and len(stack) >= 2:
+                    tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"TD" and len(stack) >= 2:
+                    tl = -float(stack[-1])
+                    tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"Tm" and len(stack) >= 6:
+                    tlm = tm = tuple(float(v) for v in stack[-6:])
+                elif op == b"T*":
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                elif op == b"TL" and stack:
+                    tl = float(stack[-1])
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    tz = float(stack[-1])
+                elif op == b"Ts" and stack:
+                    ts = float(stack[-1])
+                elif op == b"Tj" and stack:
+                    show(stack[-1])
+                elif op == b"TJ" and stack:
+                    show(stack[-1])
+                elif op == b"'" and stack:
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b'"' and len(stack) >= 3:
+                    tw = float(stack[-3])
+                    tc = float(stack[-2])
+                    tlm = _mat_mul((1, 0, 0, 1, 0.0, -tl), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b"Do" and stack:
+                    self._do_xobject(stack[-1], res, ctm, depth)
+                elif op == b"BI":
+                    # inline image: skip to EI at a byte boundary
+                    e = content.find(b"EI", lex.pos)
+                    while e >= 0 and e + 2 < n and content[e + 2] not in _WS:
+                        e = content.find(b"EI", e + 2)
+                    lex.pos = n if e < 0 else e + 2
+            except (ValueError, TypeError):
+                pass
+            stack.clear()
+
+    def _do_xobject(self, name: Any, res: dict, ctm: tuple, depth: int) -> None:
+        if not isinstance(name, str):
+            return
+        xobjs = self.doc.resolve(res.get("XObject"))
+        if not isinstance(xobjs, dict):
+            return
+        xo = self.doc.resolve(xobjs.get(name))
+        if not isinstance(xo, Stream):
+            return
+        if self.doc.resolve(xo.dict.get("Subtype")) != "Form":
+            return
+        mtx = self.doc.resolve(xo.dict.get("Matrix"))
+        inner_ctm = ctm
+        if isinstance(mtx, list) and len(mtx) == 6:
+            try:
+                inner_ctm = _mat_mul(tuple(float(v) for v in mtx), ctm)
+            except (TypeError, ValueError):
+                pass
+        inner_res = self.doc.resolve(xo.dict.get("Resources"))
+        if not isinstance(inner_res, dict):
+            inner_res = res
+        try:
+            self.run(xo.data(), depth + 1, inner_ctm, inner_res)
+        except PdfError:
+            pass
+
+
+# --------------------------------------------------------------------------
+# Page assembly → spandoc shape
+
+_LINE_TOL = 2.0  # device units: spans within this baseline distance share a line
+
+
+def _assemble_lines(spans: list[_RawSpan]) -> list[list[dict]]:
+    """Group raw spans into lines by baseline proximity; order lines
+    top-down, spans within a line left-to-right (fitz reading order)."""
+    if not spans:
+        return []
+    by_baseline = sorted(spans, key=lambda s: (s.baseline, s.x0, s.order))
+    lines: list[list[_RawSpan]] = []
+    cur: list[_RawSpan] = [by_baseline[0]]
+    cur_base = by_baseline[0].baseline
+    for sp in by_baseline[1:]:
+        if abs(sp.baseline - cur_base) <= _LINE_TOL:
+            cur.append(sp)
+        else:
+            lines.append(cur)
+            cur = [sp]
+        cur_base = sp.baseline
+    lines.append(cur)
+    out = []
+    for ln in lines:
+        ln.sort(key=lambda s: (s.x0, s.order))
+        out.append(
+            [
+                {
+                    "text": s.text,
+                    "bbox": [s.x0, s.y0, s.x1, s.y1],
+                    "font": s.font,
+                    "size": s.size,
+                }
+                for s in ln
+            ]
+        )
+    return out
+
+
+def extract_spans(payload: bytes) -> list[dict]:
+    """%PDF bytes → spandoc pages list (the parse_spandoc shape)."""
+    doc = PdfDocument(payload)
+    pages_out = []
+    for page in doc.pages():
+        media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+        try:
+            mb = [float(doc.resolve(v)) for v in media]
+        except (TypeError, ValueError):
+            mb = [0, 0, 612, 792]
+        width = abs(mb[2] - mb[0])
+        height = abs(mb[3] - mb[1])
+        resources = doc.resolve(page.get("Resources")) or {}
+        contents = doc.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        if isinstance(contents, Stream):
+            parts.append(contents.data())
+        elif isinstance(contents, list):
+            for c in contents:
+                c = doc.resolve(c)
+                if isinstance(c, Stream):
+                    parts.append(c.data())
+        interp = ContentInterpreter(doc, resources, height)
+        if parts:
+            try:
+                interp.run(b"\n".join(parts))
+            except RecursionError:
+                pass
+        lines = _assemble_lines(interp.spans)
+        # one block per line: the downstream fold is per-line, and the
+        # analyzer consumes blocks in list order (top-down) — see
+        # span_merge.merge_doc_spans
+        pages_out.append({"width": width, "blocks": [[ln] for ln in lines]})
+    if not pages_out:
+        raise PdfError("no pages")
+    return pages_out

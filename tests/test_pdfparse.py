@@ -1,0 +1,119 @@
+"""Real-%PDF parsing goldens over the reference's own fixture corpus.
+
+The reference processes /root/reference/input/file01..05.pdf through
+PyMuPDF (extract_outline.py:19-35). PyMuPDF is absent here, so exact
+span-geometry parity is untestable; what IS testable and gated:
+  - every fixture parses end-to-end (parse_ok=true, S2 closed),
+  - extracted titles/outlines are non-trivial and STABLE (goldens),
+  - the pure-Python parser handles the full feature matrix the corpus
+    exercises (classic xref + xref streams + ObjStm + Identity-H +
+    WinAnsi/Differences), as probed per-file.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+FIXTURES = Path("/root/reference/input")
+pytestmark = pytest.mark.skipif(
+    not FIXTURES.exists(), reason="reference fixture corpus not present"
+)
+
+# Golden titles from running the full pipeline (pdfparse → span_merge →
+# analyzer). These match the reference algorithm's published behavior on
+# this public corpus (e.g. file03's G5 camelCase-split duplication quirk).
+GOLDEN_TITLES = {
+    "file01": "Application form for grant of LTC advance",
+    "file02": "Overview Foundation Level Extensions",
+    "file03": "RFP: RRFP: Reeeequest fquest foooor Prr Proposaloposal",
+    "file04": "Parsippany -Troy Hills STEM Pathways",
+    "file05": "",
+}
+GOLDEN_PAGE_COUNTS = {
+    "file01": 1,
+    "file02": 12,
+    "file03": 14,
+    "file04": 1,
+    "file05": 1,
+}
+
+
+def _extract_one(name: str):
+    from pdf_extractor_spark.operators import analyzer, span_merge
+    from pdf_extractor_spark.sources import pdfparse
+
+    data = (FIXTURES / f"{name}.pdf").read_bytes()
+    pages = pdfparse.extract_spans(data)
+    merged, width = span_merge.merge_doc_spans(pages)
+    blocks = pd.DataFrame(
+        [
+            (name, i, p, t, s, fo, x0, y0, x1, y1, width)
+            for i, (p, t, s, fo, x0, y0, x1, y1, _it) in enumerate(merged)
+        ],
+        columns=[
+            "url", "block_idx", "page_num", "text", "font_size",
+            "font_name", "x0", "y0", "x1", "y1", "page_width",
+        ],
+    )
+    results = list(analyzer.analyze_batch(blocks))
+    assert len(results) == 1
+    return pages, results[0]
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_TITLES))
+def test_fixture_parses_and_title_golden(name):
+    pages, (_url, title, outline) = _extract_one(name)
+    assert len(pages) == GOLDEN_PAGE_COUNTS[name]
+    nspans = sum(len(ln) for p in pages for b in p["blocks"] for ln in b)
+    assert nspans > 20, f"{name}: too few spans ({nspans})"
+    assert title == GOLDEN_TITLES[name]
+    # outline entries must be JSON-serializable in the reference shape
+    for o in outline:
+        assert set(o) == {"level", "text", "page"}
+    json.dumps({"title": title, "outline": outline}, indent=2, ensure_ascii=False)
+
+
+def test_fixture_outline_structure_golden():
+    _, (_u, _t, outline02) = _extract_one("file02")
+    texts = [o["text"].strip() for o in outline02]
+    assert "Revision History" in texts
+    assert "Table of Contents" in texts
+    assert any(t.startswith("1.") for t in texts)
+    _, (_u, _t, outline04) = _extract_one("file04")
+    assert [o["level"] for o in outline04] == ["H1"]
+
+
+def test_determinism_byte_stable():
+    a = _extract_one("file03")[1]
+    b = _extract_one("file03")[1]
+    assert json.dumps(a[2]) == json.dumps(b[2]) and a[1] == b[1]
+
+
+def test_spark_end_to_end_binary_source(spark):
+    """S1+S2 closed: directory scan → real-PDF parse → outline, all
+    inside the mapInPandas stage, parse_ok=true for every fixture."""
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources.payload import pages_from_binary_files
+
+    pages = pages_from_binary_files(spark, str(FIXTURES))
+    out = extract_pages(pages).select("url", "title", "parse_ok", "payload_kind").collect()
+    assert len(out) == 5
+    assert all(r.parse_ok for r in out), [(r.url, r.parse_ok) for r in out]
+    assert all(r.payload_kind == "pdf" for r in out)
+    titles = {Path(r.url).stem: r.title for r in out}
+    assert titles == GOLDEN_TITLES
+
+
+def test_malformed_pdf_is_s4_failure(spark):
+    from pdf_extractor_spark.operators.extract import extract_pages
+
+    bad = [("u1", b"%PDF-1.4 garbage no xref"), ("u2", b"%PDF-\x00\xff")]
+    df = spark.createDataFrame(bad, "url string, html binary")
+    rows = extract_pages(df).select("url", "parse_ok", "error").collect()
+    assert len(rows) == 2
+    assert not any(r.parse_ok for r in rows)
+    assert all(r.error for r in rows)
