@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
         "and isolate oversized documents (north rule OOM guard)",
     )
     ap.add_argument(
+        "--file-sink",
+        metavar="DIR",
+        help="also write one <stem>.json per successful url (the "
+        "reference's per-document file sink, extract_outline.py:134-144)",
+    )
+    ap.add_argument(
         "--warm-workers",
         action="store_true",
         help="spin up Python workers before timing starts (benchmark "
@@ -84,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     stats = pio.write_result(
         result, args.output, n_buckets=args.buckets, mode="append" if args.resume else "overwrite"
     )
+    if args.file_sink:
+        n_files = pio.write_json_files(
+            pio.read_result(spark, args.output), args.file_sink
+        )
+        stats = {**stats, "json_files": n_files}
     elapsed = time.time() - t0
     summary = {
         "output": args.output,

@@ -39,6 +39,7 @@ def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str
     snapshot itself with a column-pruned scan instead of a second
     pipeline pass.
     """
+    t_write0 = time.time()
     table_dir = os.path.join(out_dir, "result")
     bucketed = with_bucket(result, n_buckets)
     # repartition on the bucket key before the write: each reduce task
@@ -64,6 +65,7 @@ def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str
     # conditional-sum exprs per row beat a pruned columnar rescan),
     # and append mode gets cumulative totals for free because the
     # whole table is re-aggregated.
+    t_write1 = time.time()
     spark = result.sparkSession
     written = spark.read.parquet(table_dir).select("bucket", "parse_ok", "payload_bytes")
     lineage = (
@@ -93,7 +95,35 @@ def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str
     }
     with open(os.path.join(lineage_dir, "manifest.json"), "w", encoding="utf-8") as f:
         json.dump(snapshot, f, indent=2)
-    return snapshot["totals"]
+    return {
+        **snapshot["totals"],
+        "write_sec": round(t_write1 - t_write0, 2),
+        "lineage_sec": round(time.time() - t_write1, 2),
+    }
+
+
+def write_json_files(result: DataFrame, out_dir: str) -> int:
+    """S5 file-level parity: one ``<stem>.json`` per successful url,
+    exactly the reference's sink (extract_outline.py:134-144 writes
+    output/<pdf stem>.json). Executors write their partitions' files
+    directly (foreachPartition) — no driver collect; ``out_dir`` must
+    be a shared filesystem in production, which is also the
+    reference's deployment assumption (mounted output volume).
+    Returns the number of files written."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    sel = result.filter(F.col("parse_ok")).select("url", "outline_json")
+
+    def _write_partition(rows) -> None:
+        for r in rows:
+            stem = _os.path.splitext(_os.path.basename(r["url"].rstrip("/")))[0]
+            path = _os.path.join(out_dir, f"{stem}.json")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(r["outline_json"] or "")
+
+    sel.foreachPartition(_write_partition)
+    return len([n for n in _os.listdir(out_dir) if n.endswith(".json")])
 
 
 def read_result(spark: SparkSession, out_dir: str, include_failed: bool = False) -> DataFrame:
@@ -138,7 +168,10 @@ def size_aware_repartition(
     Arrow batch rows stay capped separately (session.py), so worker
     memory is bounded by min(batch_rows · max_doc, partition bytes).
     """
-    plen = F.length(payload_col).cast("long")
+    # NULL-safe: length(NULL) is NULL, which would satisfy NEITHER
+    # filter and silently drop the row — route NULL payloads to the
+    # small pool instead (they are parse failures, not data loss).
+    plen = F.coalesce(F.length(payload_col).cast("long"), F.lit(0))
     stats = df.select(
         F.sum(F.when(plen <= big_threshold, plen).otherwise(0)).alias("small_bytes"),
         F.sum(F.when(plen > big_threshold, plen).otherwise(0)).alias("big_bytes"),

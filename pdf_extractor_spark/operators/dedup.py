@@ -75,10 +75,18 @@ def ngram_jaccard_pairs(
     quadratically; a standard stop-shingle cut) — here a 1000-doc cap
     per shingle guards the same blowup.
     """
-    sh = shingles(docs, id_col, text_col, n).cache()
+    sh = shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= 1000)
-    sh_f = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    # Broadcast the SMALL side only: the stop-shingle list (df > cap) is
+    # tiny by construction — ultra-frequent shingles are few — whereas
+    # the keep-list is ~every distinct shingle (unbounded at corpus
+    # scale). left_anti drops the stop shingles without shuffling sh by
+    # shingle twice. sizes joins stay unhinted: at 10^12 docs the
+    # per-doc table is NOT broadcastable; AQE picks shuffle-hash joins.
+    stop = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") > 1000)
+    )
+    sh_f = sh.join(F.broadcast(stop.select("shingle")), "shingle", "left_anti")
     a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
@@ -90,8 +98,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -157,6 +165,8 @@ def minhash_band_pairs(
     consecutive minhashes become candidate pairs. The only shuffle is
     the equality join on (band_id, band_key) — this is what makes
     near-dedup feasible at 10^12 documents."""
+    if k % band_size:
+        raise ValueError(f"k={k} must be a multiple of band_size={band_size}")
     sig = minhash_signatures(docs, k, id_col, text_col, n)
     nb = k // band_size
     stack_args = []

@@ -50,33 +50,63 @@ def cosine_topk(
 
 
 def lsh_buckets(
-    emb: DataFrame, n_bits: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bit j = sign(Σ_i v[i]·s(j,i)) where
     s(j,i) ∈ {−1,+1} comes from md5(j||'_'||i) parity — deterministic,
-    data-independent, identical in the SQL oracle."""
-    dims = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    planes = [
-        (j, i, 1 if int(_md5_parity(j, i)) else -1) for j in range(n_bits) for i in range(dims)
-    ]
-    spark = emb.sparkSession
-    plane_df = F.broadcast(
-        spark.createDataFrame(planes, schema="j int, i int, s int")
-    )
-    elems = emb.select(
-        F.col(id_col),
-        F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"),
-    )
-    proj = (
-        elems.join(plane_df, "i")
-        .groupBy(id_col, "j")
-        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
-    )
-    return proj.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(0)
-        ).alias("bucket")
-    )
+    data-independent, identical in the SQL oracle.
+
+    Pure per-row expression — no driver action at plan build, no
+    explode, no join (round 1 materialized an n·d element table joined
+    against a d·n_bits plane table and took a ``.first()`` during
+    planning). The sign matrix is data-independent, so when ``dims``
+    is known (production embedding columns have a fixed dimension) it
+    is folded into literal arrays; otherwise the parity is computed
+    inline per element — still map-only, just more md5 calls."""
+    v = _as_double(F.col(vec_col))
+
+    def proj(j: int) -> F.Column:
+        if dims is not None:
+            signs = F.array(
+                *[F.lit(1.0 if _md5_parity(j, i) else -1.0) for i in range(dims)]
+            )
+            prods = F.zip_with(v, signs, lambda x, s: x * s)
+        else:
+            idx = F.sequence(F.lit(0), F.size(v) - 1)
+            prods = F.zip_with(
+                v,
+                idx,
+                lambda x, i: x
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{j}_"), i.cast("string")
+                                ).cast("binary")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 2
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = None
+    for j in range(n_bits):
+        bit = F.when(proj(j) > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def _md5_parity(j: int, i: int) -> int:
@@ -91,10 +121,11 @@ def neardup_lsh(
     n_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH-bucket equality join → exact cosine
     filter. Output (a, b, cosine) with a < b."""
-    b = lsh_buckets(emb, n_bits, id_col, vec_col)
+    b = lsh_buckets(emb, n_bits, id_col, vec_col, dims=dims)
     withb = emb.join(b, id_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v"), "bucket"
     )
@@ -115,30 +146,105 @@ def neardup_lsh(
 
 
 # ------------------------------------------------------------- IVF-Flat
-def ivf_cells(
-    emb: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+def _seed_centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Coarse quantizer assignment (IVF): each vector goes to the cell
-    of its highest-cosine centroid. Centroids are the first ``n_cells``
-    vectors (deterministic sampled seeding — the offline analogue of a
-    trained coarse codebook; swap in k-means centroids at deploy time
-    without touching the plan shape). Broadcast join + JVM array math:
-    one narrow pass over the corpus, no shuffle until the groupBy."""
+    """Deterministic, order-independent seeding: the ``n_cells``
+    smallest vec_ids (NOT ``vec_id < n_cells`` — ids may be sparse or
+    offset on a real corpus). cell_id is the rank, so cells are always
+    0..n_cells−1 regardless of the id space. The orderBy().limit()
+    compiles to TakeOrderedAndProject (distributed top-k, no global
+    sort shuffle); the rank window then runs over only n_cells rows."""
     from pyspark.sql import Window as W
 
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    smallest = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+        .orderBy(F.asc(id_col))
+        .limit(n_cells)
     )
+    w = W.orderBy(F.asc(id_col))
+    return smallest.withColumn("cell_id", F.row_number().over(w) - 1).select(
+        "cell_id", "cv"
+    )
+
+
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Lloyd-iteration refinement of the seeded coarse codebook.
+
+    Each iteration: assign every vector to its nearest (cosine)
+    centroid, then recompute centroids as the element-wise mean of the
+    assigned vectors — ``dims`` JVM ``avg`` aggregates with map-side
+    partial aggregation, shuffling only n_cells keys. Centroids
+    (n_cells × dims floats) are collected per iteration — bounded by
+    the codebook size, never by the corpus; this is the standard
+    distributed-k-means shape (same as Spark MLlib's KMeans driver
+    loop). Returns (cell_id, cv) like _seed_centroids."""
+    spark = emb.sparkSession
     cand = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = _seed_centroids(emb, n_cells, id_col, vec_col)
+    for _ in range(max(0, iters)):
+        assigned = _assign_cells(cand, cents)
+        means = (
+            cand.join(assigned, id_col)
+            .groupBy("cell_id")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("v")[i]) for i in range(dims)]
+                ).alias("cv")
+            )
+        )
+        rows = means.collect()  # n_cells rows — codebook-bounded
+        if not rows:
+            break
+        cents = spark.createDataFrame(
+            [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows],
+            schema="cell_id int, cv array<double>",
+        )
+    return cents
+
+
+def _assign_cells(cand: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v) × broadcast centroids → (vec_id, cell_id) argmax
+    cosine; ties go to the smallest cell_id."""
+    id_col = cand.columns[0]
     scored = cand.join(F.broadcast(cents)).select(
         id_col,
         "cell_id",
         (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("sim"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(id_col, "cell_id")
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.col("cell_id"), F.struct(F.col("sim"), -F.col("cell_id"))).alias("cell_id")
     )
+    return best
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Coarse quantizer assignment (IVF): each vector goes to the cell
+    of its highest-cosine centroid. Default centroids are the seeded
+    codebook (oracle-reproducible); pass ``centroids=``
+    ivf_kmeans_centroids(...) for the trained codebook. Broadcast
+    join + JVM array math: one narrow pass over the corpus; the only
+    shuffle is the per-id argmax groupBy (map-side combinable)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(emb, n_cells, id_col, vec_col)
+    )
+    cand = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return _assign_cells(cand, cents)
 
 
 def ivf_topk(
@@ -149,16 +255,21 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat search: probe the query's ``nprobe`` nearest cells and
     run exact cosine only inside them — the 10^12-vector scale path
     (search cost drops by ~n_cells/nprobe; at scale the cell id is
     also the partition key, so a probe touches nprobe partitions).
-    Same output schema as cosine_topk; recall < 1.0 by construction."""
-    cells = ivf_cells(emb, n_cells, id_col, vec_col)
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    Same output schema as cosine_topk; recall < 1.0 by construction.
+    Pass ``centroids=ivf_kmeans_centroids(...)`` for the trained
+    codebook (higher recall; measured in bench.py --recall)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(emb, n_cells, id_col, vec_col)
     )
+    cells = ivf_cells(emb, n_cells, id_col, vec_col, centroids=cents)
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         _as_double(F.col(vec_col)).alias("qv")
     )

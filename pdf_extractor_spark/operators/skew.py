@@ -60,13 +60,16 @@ def salted_topk(
 def salted_distinct_count(df: DataFrame, key: str, val: str) -> DataFrame:
     """Exact per-key COUNT(DISTINCT val) without a skewed shuffle:
     dedupe on (key, val) first (high-cardinality shuffle key), then
-    count per key over the shrunk set."""
+    count per key over the shrunk set. NULL vals are excluded, matching
+    SQL COUNT(DISTINCT val) semantics (the documented equivalence)."""
     return (
         df.select(key, val)
         .groupBy(key, val)
         .agg(F.lit(1))
         .groupBy(key)
-        .agg(F.count("*").alias("n_distinct"))
+        .agg(
+            F.sum(F.when(F.col(val).isNotNull(), 1).otherwise(0)).alias("n_distinct")
+        )
     )
 
 

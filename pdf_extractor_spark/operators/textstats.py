@@ -129,41 +129,38 @@ def fingerprint_winnow(
     sufficiently long match between two documents shares a selected
     hash. Output: one row per distinct selected hash per document.
 
-    Pure JVM expressions: substring k-grams, md5-based 32-bit hash, a
-    sliding min window over position order. The shuffle key is doc_id
-    (the window partition) — bounded by document count, not gram
-    count, after the map-side distinct.
+    Winnowing selects the minimum of EVERY window (rightmost on ties);
+    since the output is the distinct hash set per document, the
+    tie-break is irrelevant (tied candidates share the hash value), so
+    the fingerprint set is exactly ``distinct(min(window_p))`` over all
+    windows p. That makes the whole operator per-row array math —
+    ZERO shuffles: the gram-hash array, the per-window minima, and the
+    distinct all happen inside the row (doc_id is unique per input
+    row), and the explode just lays out the result. At 100 TB this is
+    a map-only stage; the round-1 formulation shuffled ~every
+    character of the corpus through a doc_id window.
     """
-    from pyspark.sql import Window as W
-
-    n_grams = F.length(F.col(text_col)) - k + 1
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                n_grams >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_grams.cast("int")),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.substring(F.col(text_col), i, k).alias("gram"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        F.col("g.pos").alias("pos"),
-        (
-            F.conv(F.substring(F.md5(F.col("g.gram").cast("binary")), 1, 8), 16, 10).cast("bigint")
-        ).alias("h"),
+    n_grams = (F.length(F.col(text_col)) - k + 1).cast("int")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col(text_col), i, k).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
     )
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), 0)
+    hs = F.when(n_grams >= 1, gram_hashes).otherwise(
+        F.array().cast("array<bigint>")
     )
-    selected = grams.withColumn("wmin", F.min("h").over(w)).filter(
-        (F.col("pos") >= window) & (F.col("h") == F.col("wmin"))
+    fps = F.array_distinct(
+        F.when(
+            F.size(hs) >= window,
+            F.transform(
+                F.sequence(F.lit(window), F.size(hs)),
+                lambda p: F.array_min(F.slice(hs, p - window + 1, window)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
     )
-    return selected.select("doc_id", F.col("h").alias("fingerprint")).distinct()
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint")
+    )

@@ -615,7 +615,9 @@ def emb_neardup_lsh(spark, sf_dir):
     """Embedding near-dup: 8-bit random-hyperplane LSH buckets →
     bucket-equality join → exact-cosine filter (the scale path; the
     bucket join replaces the all-pairs cross join)."""
-    return S.neardup_lsh(R.load(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=8)
+    return S.neardup_lsh(
+        R.load(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=8, dims=64
+    )
 
 
 @register(
@@ -1203,8 +1205,8 @@ winmin AS (
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
   FROM grams
 )
-SELECT DISTINCT doc_id, h AS fingerprint
-FROM winmin WHERE pos >= 4 AND h = wmin""",
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM winmin WHERE pos >= 4""",
 )
 def fingerprint_winnow(spark, sf_dir):
     """Winnowing rolling-hash fingerprint (k=8 char grams, window=4):

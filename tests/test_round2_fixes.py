@@ -1,0 +1,128 @@
+"""Round-2 hardening tests: ADVICE.md findings + new surfaces.
+
+Each test pins a specific fix:
+  - size_aware_repartition must not drop NULL-payload rows
+  - salted_distinct_count must exclude NULLs (SQL COUNT(DISTINCT))
+  - minhash_band_pairs must reject non-divisible band sizes
+  - winnowing must select the min of EVERY window (Schleimer et al.),
+    not only minima sitting at a window's end
+  - IVF centroid seeding must survive sparse/offset vec_ids
+  - write_json_files emits one <stem>.json per successful url
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_size_aware_repartition_keeps_null_payloads(spark):
+    from pdf_extractor_spark.io import size_aware_repartition
+
+    rows = [("u1", b"x" * 100), ("u2", None), ("u3", b"y" * (5 << 20))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = size_aware_repartition(df, big_threshold=4 << 20)
+    assert out.count() == 3
+    assert {r.url for r in out.select("url").collect()} == {"u1", "u2", "u3"}
+
+
+def test_salted_distinct_count_excludes_nulls(spark):
+    from pdf_extractor_spark.operators.skew import salted_distinct_count
+
+    rows = [("a", "x"), ("a", "x"), ("a", None), ("b", None), ("c", "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r.k: r.n_distinct for r in salted_distinct_count(df, "k", "v").collect()}
+    # COUNT(DISTINCT v): a→1, b→0, c→1 (b's only value is NULL)
+    assert got == {"a": 1, "b": 0, "c": 1}
+
+
+def test_minhash_band_pairs_rejects_ragged_bands(spark):
+    from pdf_extractor_spark.operators.dedup import minhash_band_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_band_pairs(df, k=8, band_size=3)
+
+
+def test_winnow_selects_every_window_min(spark):
+    """A strictly increasing hash run must still fingerprint: each
+    window's min is its first element. The round-1 rule (keep h only
+    where h == min of the window ENDING at h) yielded nothing on
+    monotone runs — the Schleimer guarantee was violated."""
+    from pdf_extractor_spark.operators.textstats import fingerprint_winnow
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789")], "doc_id long, text string"
+    )
+    rows = fingerprint_winnow(df, k=8, window=4).collect()
+    n_grams = 36 - 8 + 1  # 29
+    n_windows = n_grams - 4 + 1  # 26
+    assert 1 <= len(rows) <= n_windows
+    # brute-force reference: min of every window over the same hashes
+    import hashlib
+
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    hs = [
+        int(hashlib.md5(text[i : i + 8].encode()).hexdigest()[:8], 16)
+        for i in range(n_grams)
+    ]
+    want = sorted({min(hs[p : p + 4]) for p in range(n_windows)})
+    got = sorted(r.fingerprint for r in rows)
+    assert got == want
+
+
+def test_ivf_seeding_sparse_ids(spark):
+    """vec_ids 1000,1007,1014,... (sparse, offset) must still produce
+    n_cells centroids and a full assignment."""
+    import random
+
+    from pdf_extractor_spark.operators.similarity import ivf_cells
+
+    rng = random.Random(7)
+    rows = [
+        (1000 + 7 * i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = ivf_cells(emb, n_cells=4, vec_col="embedding")
+    got = cells.collect()
+    assert len(got) == 40  # every vector assigned
+    assert {r.cell_id for r in got} <= {0, 1, 2, 3}
+    assert len({r.cell_id for r in got}) >= 2  # not all in one cell
+
+
+def test_ivf_kmeans_improves_or_matches_recall(spark, sf_dir):
+    """Lloyd iterations must not hurt recall@10 vs the seeded codebook
+    on the real embeddings table (and both measured vs brute force)."""
+    from pdf_extractor_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = {r.vec_id for r in cosine_topk(emb, query_vec_id=0, k=10).collect()}
+    seeded = {r.vec_id for r in ivf_topk(emb, query_vec_id=0, k=10).collect()}
+    cents = ivf_kmeans_centroids(emb, n_cells=16, iters=2, dims=64)
+    trained = {
+        r.vec_id
+        for r in ivf_topk(emb, query_vec_id=0, k=10, centroids=cents).collect()
+    }
+    assert len(trained & truth) >= len(seeded & truth) - 1
+
+
+def test_file_sink_per_url_json(spark, tmp_path):
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.io import write_json_files
+    from pdf_extractor_spark.operators.extract import extract_pages
+
+    pages = corpus.distributed_pages(spark, 50, seed=3)
+    result = extract_pages(pages, keep_failed=True)
+    out = tmp_path / "json_out"
+    n = write_json_files(result, str(out))
+    ok = result.filter(F.col("parse_ok")).count()
+    assert n == ok > 0
+    sample = next(iter(out.glob("*.json")))
+    parsed = json.loads(sample.read_text(encoding="utf-8"))
+    assert set(parsed) == {"title", "outline"}
