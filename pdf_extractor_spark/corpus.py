@@ -210,6 +210,85 @@ def random_html(rng: random.Random) -> bytes:
     return html.encode("utf-8")
 
 
+def _pdf_escape(s: str) -> bytes:
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    ).encode("latin-1", "replace")
+
+
+def random_pdf(rng: random.Random) -> bytes:
+    """Deterministic minimal REAL ``%PDF`` document (classic xref,
+    FlateDecode content streams, Helvetica Type1): a title line plus a
+    few heading/body lines per page. Exercises sources/pdfparse.py —
+    the same payload path the reference's own fixtures take — without
+    any PDF library."""
+    n_pages = rng.randint(1, 3)
+    page_objs = []
+    content_objs = []
+    next_obj = 4  # 1=catalog 2=pages 3=font
+    for p in range(n_pages):
+        lines = []
+        y = 720
+        if p == 0:
+            title = " ".join(rng.sample(_HEAD_WORDS, 2)).title()
+            lines.append(
+                b"BT /F1 22 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(title))
+            )
+            y -= 40
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.4:
+                head = rng.choice(_HEAD_WORDS).title()
+                lines.append(
+                    b"BT /F1 16 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(head))
+                )
+            else:
+                body = _sentence(rng, 5, 10)
+                lines.append(
+                    b"BT /F1 11 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(body))
+                )
+            y -= 24
+        content = zlib.compress(b"\n".join(lines))
+        content_objs.append(content)
+        page_objs.append(next_obj)
+        next_obj += 2  # page obj + content obj
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num)
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    kids = " ".join(f"{o} 0 R" for o in page_objs)
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids.encode(), n_pages))
+    emit(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for p, obj in enumerate(page_objs):
+        emit(
+            obj,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % (obj + 1),
+        )
+        emit(
+            obj + 1,
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(content_objs[p]), content_objs[p]),
+        )
+    n_objs = next_obj
+    xref_off = len(buf)
+    buf.extend(b"xref\n0 %d\n" % n_objs)
+    buf.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs):
+        buf.extend(b"%010d 00000 n \n" % offsets[num])
+    buf.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_off)
+    )
+    return bytes(buf)
+
+
 _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
 
@@ -231,6 +310,10 @@ def build_pages_row(i: int, seed: int = 42, html_fraction: float = 0.25) -> dict
     elif roll < html_fraction:
         payload = random_html(r)
         lang = r.choice(["en", "de", "fr", "es"])
+    elif roll < html_fraction + 0.15:
+        # real %PDF bytes → sources/pdfparse.py path (round 2)
+        payload = random_pdf(r)
+        lang = "en"
     else:
         payload = spandoc_to_payload(random_spandoc(r))
         lang = "en"
@@ -260,6 +343,42 @@ def distributed_pages(spark, n_docs: int, seed: int = 42, html_fraction: float =
     n_parts = spark.sparkContext.defaultParallelism * 4  # even slices
     return spark.range(0, n_docs, 1, n_parts).mapInPandas(
         gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def materialize_bucketed_corpus(
+    spark,
+    n_docs: int,
+    out_dir: str,
+    seed: int = 42,
+    n_buckets: int = 32,
+    files_per_bucket: int = 4,
+) -> None:
+    """Write the synthetic pages table PARTITIONED BY url-hash bucket —
+    the shape an Iceberg ingest with ``bucket(N, url)`` produces. Jobs
+    reading this layout run scan → extract → write with zero
+    exchanges (io.write_result(input_bucketed=True)); this is the
+    production contract the north rule describes, and the input shape
+    the scaling benchmark uses.
+
+    ``files_per_bucket`` > 1 splits each bucket dir into several files
+    (an independent url-hash salt, NOT derived from the bucket) so the
+    scan yields n_buckets × files_per_bucket splits — multiple task
+    waves instead of one, which smooths stragglers and lets a smaller
+    cluster load-balance; Iceberg's write.target-file-size does the
+    same thing in production."""
+    from pyspark.sql import functions as F
+
+    from .io import with_bucket
+
+    pages = distributed_pages(spark, n_docs, seed=seed)
+    salt = F.pmod(F.xxhash64("url", F.lit("file_salt")), F.lit(files_per_bucket))
+    (
+        with_bucket(pages, n_buckets)
+        .repartition(n_buckets * files_per_bucket, "bucket", salt)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
     )
 
 

@@ -30,7 +30,13 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
-def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str = "overwrite") -> dict:
+def write_result(
+    result: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+    input_bucketed: bool = False,
+) -> dict:
     """Write the result table bucketed by url-hash + lineage manifests.
 
     All rows (including parse failures) land in the table — consumers
@@ -38,10 +44,26 @@ def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str
     docs" semantic, S4) — so lineage can be derived from the committed
     snapshot itself with a column-pruned scan instead of a second
     pipeline pass.
+
+    ``input_bucketed=True`` is the production shape the north rule
+    describes: the pages table is ALREADY bucketed on url-hash
+    (Iceberg ``bucket(N, url)`` at ingest), so every scan task holds
+    rows of exactly one bucket and the dynamic-partition write emits
+    one file per (task, bucket) with NO exchange — the whole job is
+    scan → extract → write, shuffle-free. Bucket once at ingest,
+    never reshuffle: at 100 TB the repartition below would move the
+    entire result table across the cluster per run.
     """
     t_write0 = time.time()
     table_dir = os.path.join(out_dir, "result")
     bucketed = with_bucket(result, n_buckets)
+    if input_bucketed:
+        (
+            bucketed.write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+        return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
     # repartition on the bucket key before the write: each reduce task
     # then writes into exactly one bucket dir (one file per bucket,
     # not tasks×buckets tiny files — measured 13s vs 0s of overhead at
@@ -57,7 +79,12 @@ def write_result(result: DataFrame, out_dir: str, n_buckets: int = 32, mode: str
         .partitionBy("bucket")
         .parquet(table_dir)
     )
+    return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
 
+
+def _finish_lineage(
+    result: DataFrame, out_dir: str, table_dir: str, n_buckets: int, t_write0: float
+) -> dict:
     # Per-bucket lineage from the committed snapshot with an explicit
     # 3-thin-column scan (bucket is a partition column — free). This
     # measured CHEAPER than collecting the same metrics during the

@@ -1213,3 +1213,37 @@ def fingerprint_winnow(spark, sf_dir):
     sliding-window minima of rolling k-gram hashes — the standard
     local document fingerprint for plagiarism/overlap detection."""
     return T.fingerprint_winnow(R.load(spark, sf_dir, "documents"), k=8, window=4)
+
+
+@register("pdf_payload_extract")  # rows-only: Arrow-stage pipeline over real %PDF bytes
+def pdf_payload_extract(spark, sf_dir):
+    """Real-%PDF path end-to-end under the driver gate: synthesize
+    deterministic minimal PDFs on the executors (corpus.random_pdf —
+    classic xref + FlateDecode + Helvetica content streams), parse
+    them with sources/pdfparse.py inside the extraction stage, and
+    emit (url, title, outline_json). Deterministic in (doc count,
+    seed); byte-level correctness of the analysis on PDF-derived
+    spans is gated by tests/test_pdfparse.py +
+    tests/test_refimpl_vs_reference.py."""
+    import pandas as pd
+
+    from .. import corpus as corpus_mod
+    from ..operators.extract import extract_pages
+
+    n = 500
+
+    def gen(batches):
+        import random
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                r = random.Random(77_000 + int(i))
+                rows.append(
+                    {"url": f"https://pdf.example.com/doc/{int(i):06d}",
+                     "html": corpus_mod.random_pdf(r)}
+                )
+            yield pd.DataFrame(rows)
+
+    pages = spark.range(0, n, 1, 16).mapInPandas(gen, schema="url string, html binary")
+    return extract_pages(pages).select("url", "title", "outline_json", "parse_ok")

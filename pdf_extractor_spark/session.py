@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # fat-payload scan granularity: pages rows carry multi-KB..MB
+        # binary payloads, so 128 MB splits (default) bin-pack many
+        # files into few tasks — starving cores and breaking the
+        # bucket-per-task alignment of pre-bucketed input. 16 MB keeps
+        # splits ≈ files for bucketed layouts and bounds the payload
+        # bytes a single Python stage instance holds.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -117,3 +117,82 @@ def test_malformed_pdf_is_s4_failure(spark):
     assert len(rows) == 2
     assert not any(r.parse_ok for r in rows)
     assert all(r.error for r in rows)
+
+
+def test_generated_pdfs_byte_identical_to_reference(spark):
+    """Full-loop differential on the real-%PDF path: generate minimal
+    PDFs (corpus.random_pdf), parse with pdfparse, feed the SAME spans
+    to the ACTUAL reference implementation (fake-fitz harness, see
+    test_refimpl_vs_reference.py), and assert the Spark pipeline's
+    outline_json is byte-identical per url."""
+    import importlib.util
+    import random
+    import sys
+    import types
+
+    ref_dir = Path("/root/reference")
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources import pdfparse
+
+    docs = {}
+    rows = []
+    for i in range(60):
+        r = random.Random(55_000 + i)
+        pdf = corpus.random_pdf(r)
+        url = f"u{i:03d}"
+        docs[url] = pdfparse.extract_spans(pdf)
+        rows.append((url, pdf))
+
+    class _Rect:
+        def __init__(self, w):
+            self.width = w
+
+    class _Page:
+        def __init__(self, page):
+            self.rect = _Rect(page.get("width", 0.0))
+            self._blocks = [
+                {"lines": [{"spans": line} for line in block]}
+                for block in page.get("blocks", [])
+            ]
+
+        def get_text(self, kind):
+            return {"blocks": self._blocks}
+
+    class _Doc(list):
+        def close(self):
+            pass
+
+    fake = types.ModuleType("fitz")
+    fake.open = lambda path: _Doc(_Page(p) for p in docs[path])
+    sys.modules["fitz"] = fake
+    if str(ref_dir) not in sys.path:
+        sys.path.insert(0, str(ref_dir))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_extract_outline_pdft", ref_dir / "extract_outline.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        extractor = mod.PDFOutlineExtractor()
+        expected = {}
+        for url in docs:
+            res = extractor.process_single_pdf(url)
+            expected[url] = (
+                None
+                if res is None
+                else json.dumps(res, indent=2, ensure_ascii=False)
+            )
+    finally:
+        del sys.modules["fitz"]
+
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in extract_pages(df).collect()}
+    n_match = 0
+    for url, exp in expected.items():
+        if exp is None:
+            assert not got[url].parse_ok or got[url].outline_json is None
+        else:
+            assert got[url].outline_json == exp, url
+            n_match += 1
+    assert n_match >= 50

@@ -76,6 +76,50 @@ AUDITS = [
         "a hot key never lands in one task.",
     ),
     (
+        "dedup_ngram_jaccard",
+        {"no_python": lambda p, sp: "Python" not in p,
+         # the stop-shingle list (small by construction) feeds a
+         # left-anti join; the remaining broadcasts in this sf0.01 plan
+         # are Catalyst AUTO-selections (sizes table under the 64 MB
+         # threshold) with no forced hint in the code — above the
+         # threshold AQE flips them to shuffle joins, so nothing
+         # unbounded is ever pinned to a broadcast
+         "anti_join_stop_list": lambda p, sp: "LeftAnti" in _tree(p),
+         "no_cartesian": lambda p, sp: "Cartesian" not in p
+         and "NestedLoop" not in p},
+        "Exact Jaccard: the df>1000 stop-shingle cut rides a "
+        "left-anti join (broadcasting only the tiny stop list); "
+        "doc-size joins carry no broadcast hint, so Catalyst/AQE "
+        "pick the strategy by size — never a pinned unbounded "
+        "broadcast (round 1 force-broadcast the keep-list and both "
+        "per-doc size tables).",
+    ),
+    (
+        "fingerprint_winnow",
+        {"no_python": lambda p, sp: "Python" not in p,
+         # the only exchange allowed is R.load's single-split fan-out
+         # BELOW the Generate (testdata artifact, skipped at scale);
+         # nothing may shuffle AFTER the explode, and no window/agg
+         # may appear at all
+         "no_post_explode_shuffle": lambda p, sp: "Exchange" not in _tree(p)
+         or _tree(p).find("Exchange") > _tree(p).find("Generate"),
+         "no_window_or_agg": lambda p, sp: "Window" not in _tree(p)
+         and "HashAggregate" not in _tree(p)},
+        "Winnowing: gram hashes, per-window minima, and the distinct "
+        "all happen as per-row array expressions — map-only except "
+        "the local fan-out of the single-split testdata scan (round "
+        "1 shuffled ~every character through a doc_id window).",
+    ),
+    (
+        "emb_neardup_lsh",
+        {"no_python": lambda p, sp: "Python" not in p,
+         "no_explode": lambda p, sp: "Generate" not in _tree(p)},
+        "Hyperplane LSH: bucket bits are literal-sign-matrix array "
+        "expressions (no posexplode, no plane-table join, no driver "
+        "action at plan build); candidate pairs from the bucket "
+        "equality join only.",
+    ),
+    (
         "outline_extract",
         {"one_python_stage": lambda p, sp: _tree(p).count("MapInPandas") == 2,
          "no_shuffle_after_parse": lambda p, sp: "Exchange" not in _tree(p).split("MapInPandas")[0]},
