@@ -1247,3 +1247,40 @@ def pdf_payload_extract(spark, sf_dir):
 
     pages = spark.range(0, n, 1, 16).mapInPandas(gen, schema="url string, html binary")
     return extract_pages(pages).select("url", "title", "outline_json", "parse_ok")
+
+
+@register(
+    "ann_batch_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 42, 123)
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 10""",
+)
+def ann_batch_topk(spark, sf_dir):
+    """Batched multi-query exact ANN: ONE corpus pass answers 4 query
+    vectors via a vectorized numpy matmul inside an Arrow stage with
+    per-batch top-k pruning, then a tiny window merge — the
+    scatter-gather serving shape (similarity.batch_cosine_topk)."""
+    from ..operators import similarity as S_
+
+    return S_.batch_cosine_topk(
+        R.load(spark, sf_dir, "embeddings"), query_vec_ids=[0, 7, 42, 123], k=10
+    )

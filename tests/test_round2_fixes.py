@@ -126,3 +126,18 @@ def test_file_sink_per_url_json(spark, tmp_path):
     sample = next(iter(out.glob("*.json")))
     parsed = json.loads(sample.read_text(encoding="utf-8"))
     assert set(parsed) == {"title", "outline"}
+
+
+def test_batch_topk_matches_single_query(spark, sf_dir):
+    """batch_cosine_topk must return exactly what cosine_topk returns
+    per query (same ids, same rounded cosines, same order semantics)."""
+    from pdf_extractor_spark.operators.similarity import batch_cosine_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = batch_cosine_topk(emb, query_vec_ids=[0, 3], k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    for q in (0, 3):
+        single = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=5).collect()]
+        assert sorted(got[q]) == sorted(single), q
