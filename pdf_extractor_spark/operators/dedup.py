@@ -43,8 +43,17 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (the substrate for
-    Jaccard / MinHash). Pure SQL expressions — stays in codegen."""
-    w = F.split(F.col(text_col), " ")
+    Jaccard / MinHash). Pure SQL expressions — stays in codegen.
+
+    The word array is MATERIALIZED as its own projection before the
+    gram transform: higher-order-function lambdas are interpreted, so
+    an inlined ``split(text)`` inside the lambda body would re-split
+    the whole document once per gram — O(words²) per document (same
+    trap as fingerprint_winnow's round-2 fix)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    w = F.col("w")
     # guard: Spark's sequence(0, -1) is DESCENDING [0,-1], not empty —
     # short docs must produce an empty gram array explicitly
     grams = F.when(
@@ -59,8 +68,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     # DISTINCT(doc_id, shingle) — without the full shuffle a global
     # .distinct() would cost (at 10^12 docs that shuffle is the
     # single biggest line item in the whole dedup job).
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
