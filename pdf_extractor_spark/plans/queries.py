@@ -1284,3 +1284,58 @@ def ann_batch_topk(spark, sf_dir):
     return S_.batch_cosine_topk(
         R.load(spark, sf_dir, "embeddings"), query_vec_ids=[0, 7, 42, 123], k=10
     )
+
+
+@register(
+    "layout_header_footer",
+    _PFX
+    + """,
+bands AS (
+  SELECT doc_id, block_idx, page_num, block_text,
+         CAST(floor(y0 / 120.0) AS BIGINT) AS y_band
+  FROM blocks2
+),
+pages AS (
+  SELECT doc_id, count(DISTINCT page_num) AS n_pages FROM bands GROUP BY doc_id
+),
+rec AS (
+  SELECT doc_id, y_band, block_text, count(DISTINCT page_num) AS n_occ_pages
+  FROM bands GROUP BY doc_id, y_band, block_text
+)
+SELECT b.doc_id, b.block_idx,
+       (p.n_pages >= 3 AND r.n_occ_pages >= p.n_pages * 0.6) AS is_furniture
+FROM bands b
+JOIN rec r ON b.doc_id = r.doc_id AND b.y_band = r.y_band AND b.block_text = r.block_text
+JOIN pages p ON b.doc_id = p.doc_id""",
+)
+def layout_header_footer(spark, sf_dir):
+    """Header/footer suppression flags: same text in the same vertical
+    band recurring on >=60% of a >=3-page document's pages is page
+    furniture (operators/layout.py) — standard main-content heuristic
+    the north star names; groupBy/join keyed by doc_id only."""
+    from ..operators import layout as L
+
+    return L.header_footer_flags(R.derived_blocks(spark, sf_dir))
+
+
+@register(
+    "layout_reading_order",
+    _PFX
+    + """
+SELECT doc_id, page_num, block_idx,
+       least(greatest(CAST(floor(x0 / 306.0) AS INT), 0), 1) AS col_idx,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id, page_num
+         ORDER BY least(greatest(CAST(floor(x0 / 306.0) AS INT), 0), 1) ASC,
+                  y0 ASC, x0 ASC, block_idx ASC
+       ) AS INT) AS read_order
+FROM blocks2""",
+)
+def layout_reading_order(spark, sf_dir):
+    """2-column reading-order reconstruction: column-major ordering by
+    (x0 band, y0) per page (operators/layout.py) — a single window
+    keyed by (doc_id, page_num), shuffle-free on a doc-bucketed
+    table."""
+    from ..operators import layout as L
+
+    return L.multicol_reading_order(R.derived_blocks(spark, sf_dir))

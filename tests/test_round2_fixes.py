@@ -141,3 +141,52 @@ def test_batch_topk_matches_single_query(spark, sf_dir):
     for q in (0, 3):
         single = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=5).collect()]
         assert sorted(got[q]) == sorted(single), q
+
+
+def test_header_footer_suppression_semantics(spark):
+    """A running header ('ACME Corp' at the top band of every page) and
+    a page-number footer must be flagged; body text must not."""
+    from pdf_extractor_spark.operators.layout import (
+        header_footer_flags,
+        suppress_headers_footers,
+    )
+
+    rows = []
+    bi = 0
+    for page in range(4):
+        rows.append((1, bi, page, "ACME Corp", 10.0)); bi += 1          # header y=10
+        rows.append((1, bi, page, f"body text {page}", 300.0)); bi += 1  # unique body
+        rows.append((1, bi, page, "confidential", 700.0)); bi += 1       # footer y=700
+    blocks = spark.createDataFrame(
+        rows, "doc_id long, block_idx long, page_num long, block_text string, y0 double"
+    )
+    flags = {r.block_idx: r.is_furniture for r in header_footer_flags(blocks).collect()}
+    for page in range(4):
+        assert flags[page * 3] is True       # header
+        assert flags[page * 3 + 1] is False  # body
+        assert flags[page * 3 + 2] is True   # footer
+    kept = suppress_headers_footers(blocks).select("block_text").collect()
+    assert all(r.block_text.startswith("body") for r in kept)
+    assert len(kept) == 4
+
+
+def test_multicol_reading_order_semantics(spark):
+    """Two-column page: left column reads fully before the right
+    column, each top-to-bottom."""
+    from pdf_extractor_spark.operators.layout import multicol_reading_order
+
+    rows = [
+        # (doc, idx, page, y0, x0): interleaved left/right in input order
+        (1, 0, 0, 100.0, 350.0),  # right top
+        (1, 1, 0, 100.0, 50.0),   # left top
+        (1, 2, 0, 400.0, 350.0),  # right bottom
+        (1, 3, 0, 400.0, 50.0),   # left bottom
+    ]
+    blocks = spark.createDataFrame(
+        rows, "doc_id long, block_idx long, page_num long, y0 double, x0 double"
+    )
+    order = {
+        r.block_idx: r.read_order
+        for r in multicol_reading_order(blocks).collect()
+    }
+    assert order == {1: 1, 3: 2, 0: 3, 2: 4}
