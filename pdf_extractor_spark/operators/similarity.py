@@ -3,11 +3,18 @@
   - cosine_topk: brute-force cosine top-k against a query vector —
     the exactness baseline. All math in JVM expressions (zip_with +
     aggregate over doubles): no Python, broadcastable query side.
+  - batch_cosine_topk: many queries in ONE corpus pass — numpy matmul
+    inside an Arrow stage with per-batch top-k pruning, then a tiny
+    window merge (the scatter-gather serving shape).
   - lsh_buckets / neardup_lsh: random-hyperplane LSH — signs derived
     from md5 so the scheme is deterministic and oracle-reproducible.
     Candidate pairs come from an equality join on the bucket key; the
     exact cosine then filters. This is the 100 TB path: shuffle by
     16-bit bucket, never all-pairs.
+  - ivf_cells / ivf_topk / ivf_kmeans_centroids: IVF-Flat coarse
+    quantizer — probe nprobe cells only; codebook seeded
+    deterministically or refined with distributed Lloyd iterations
+    (recall/nprobe curve in BENCH/RECALL.md).
 """
 
 from __future__ import annotations

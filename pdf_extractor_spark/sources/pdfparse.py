@@ -1244,6 +1244,23 @@ def extract_spans(payload: bytes) -> list[dict]:
             mb = [0, 0, 612, 792]
         width = abs(mb[2] - mb[0])
         height = abs(mb[3] - mb[1])
+        # /Rotate: rotate PDF space into an upright page of swapped
+        # dims so the interpreter's top-down flip applies unchanged
+        # (90: (x,y)->(y, W-x); 180: (W-x, H-y); 270: (H-y, x))
+        rot = doc.resolve(page.get("Rotate")) or 0
+        try:
+            rot = int(rot) % 360
+        except (TypeError, ValueError):
+            rot = 0
+        base_ctm = _IDENT
+        if rot == 90:
+            base_ctm = (0.0, -1.0, 1.0, 0.0, 0.0, width)
+            width, height = height, width
+        elif rot == 180:
+            base_ctm = (-1.0, 0.0, 0.0, -1.0, width, height)
+        elif rot == 270:
+            base_ctm = (0.0, 1.0, -1.0, 0.0, height, 0.0)
+            width, height = height, width
         resources = doc.resolve(page.get("Resources")) or {}
         contents = doc.resolve(page.get("Contents"))
         parts: list[bytes] = []
@@ -1257,7 +1274,7 @@ def extract_spans(payload: bytes) -> list[dict]:
         interp = ContentInterpreter(doc, resources, height)
         if parts:
             try:
-                interp.run(b"\n".join(parts))
+                interp.run(b"\n".join(parts), ctm=base_ctm)
             except RecursionError:
                 pass
         lines = _assemble_lines(interp.spans)

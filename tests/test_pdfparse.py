@@ -196,3 +196,37 @@ def test_generated_pdfs_byte_identical_to_reference(spark):
             assert got[url].outline_json == exp, url
             n_match += 1
     assert n_match >= 50
+
+
+def test_rotate_page_transforms():
+    """/Rotate support: 90/270 swap the page dims; 180 yields exactly
+    the mirrored layout (line order and within-line span order both
+    reversed) — the standard display-rotation semantics."""
+    import random
+
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.sources import pdfparse
+
+    pdf = corpus.random_pdf(random.Random(9))
+    base = pdfparse.extract_spans(pdf)
+
+    def flat(ps):
+        return [sp["text"] for p in ps for b in p["blocks"] for l in b for sp in l]
+
+    def flat_rev(ps):
+        out = []
+        for p in ps:
+            for l in reversed([l for b in p["blocks"] for l in b]):
+                out.extend(sp["text"] for sp in reversed(l))
+        return out
+
+    r180 = pdfparse.extract_spans(
+        pdf.replace(b"/Type /Page /Parent", b"/Rotate 180 /Type /Page /Parent")
+    )
+    assert flat(r180) == flat_rev(base)
+    assert r180[0]["width"] == base[0]["width"]
+    r90 = pdfparse.extract_spans(
+        pdf.replace(b"/Type /Page /Parent", b"/Rotate 90 /Type /Page /Parent")
+    )
+    assert r90[0]["width"] != base[0]["width"]  # dims swapped
+    assert sorted(flat(r90)) == sorted(flat(base))  # same spans, new layout
