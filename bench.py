@@ -267,13 +267,14 @@ def scaling_mode() -> None:
     state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     if state_path.exists():
         state = json.loads(state_path.read_text())
-    if state.get("n_docs") not in (None, n_docs) or state.get("protocol_v") != 3:
-        # v3: bucketed input corpus + shuffle-free write + real-PDF
+    if state.get("n_docs") not in (None, n_docs) or state.get("protocol_v") != 4:
+        # v4: analyzer batch-column + shared-font-cache speedups change
+        # per-doc cost; v3: bucketed input corpus + shuffle-free write + real-PDF
         # corpus slice — prior accumulated minima measured a different
         # job, discard them
         state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     state["n_docs"] = n_docs
-    state["protocol_v"] = 3
+    state["protocol_v"] = 4
 
     print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
     ceiling = max(_hardware_ceiling(), float(state.get("ceiling", 0.0)))

@@ -197,20 +197,45 @@ class _Doc:
         "bold", "case", "numbering", "centered", "score", "n",
     )
 
-    def __init__(self, sub: pd.DataFrame):
-        self.text = sub["text"].to_numpy(dtype=object)
-        self.size = sub["font_size"].to_numpy(dtype=float)
-        self.page = sub["page_num"].to_numpy(dtype=int)
-        self.y = sub["y0"].to_numpy(dtype=float)
-        self.x0 = sub["x0"].to_numpy(dtype=float)
-        self.x1 = sub["x1"].to_numpy(dtype=float)
-        self.y1 = sub["y1"].to_numpy(dtype=float)
-        self.bold = sub["is_bold"].to_numpy(dtype=bool)
-        self.case = sub["text_case"].to_numpy(dtype=object)
-        self.numbering = sub["numbering"].to_numpy(dtype=object)
-        self.centered = sub["is_centered"].to_numpy(dtype=bool)
-        self.score = sub["score"].to_numpy(dtype=float)
-        self.n = len(sub)
+    def __init__(self, cols: "_BatchCols", idx):
+        # fancy-index the BATCH-level numpy arrays: extracting pandas
+        # columns per document costs ~12 __getitem__/to_numpy calls per
+        # doc (measured ~20% of the whole Arrow stage); pulling each
+        # column once per batch and slicing is pure numpy
+        self.text = cols.text[idx]
+        self.size = cols.size[idx]
+        self.page = cols.page[idx]
+        self.y = cols.y[idx]
+        self.x0 = cols.x0[idx]
+        self.x1 = cols.x1[idx]
+        self.y1 = cols.y1[idx]
+        self.bold = cols.bold[idx]
+        self.case = cols.case[idx]
+        self.numbering = cols.numbering[idx]
+        self.centered = cols.centered[idx]
+        self.score = cols.score[idx]
+        self.n = len(idx)
+
+
+class _BatchCols:
+    """All 12 _Doc columns extracted ONCE for a whole scored batch."""
+
+    __slots__ = _Doc.__slots__
+
+    def __init__(self, scored: pd.DataFrame):
+        self.text = scored["text"].to_numpy(dtype=object)
+        self.size = scored["font_size"].to_numpy(dtype=float)
+        self.page = scored["page_num"].to_numpy(dtype=int)
+        self.y = scored["y0"].to_numpy(dtype=float)
+        self.x0 = scored["x0"].to_numpy(dtype=float)
+        self.x1 = scored["x1"].to_numpy(dtype=float)
+        self.y1 = scored["y1"].to_numpy(dtype=float)
+        self.bold = scored["is_bold"].to_numpy(dtype=bool)
+        self.case = scored["text_case"].to_numpy(dtype=object)
+        self.numbering = scored["numbering"].to_numpy(dtype=object)
+        self.centered = scored["is_centered"].to_numpy(dtype=bool)
+        self.score = scored["score"].to_numpy(dtype=float)
+        self.n = len(scored)
 
 
 def _candidate_indices(d: _Doc, baseline: float, poster_v1: bool) -> list[int]:
@@ -460,7 +485,8 @@ def analyze_batch(blocks: pd.DataFrame) -> Iterator[tuple[str, str, list[dict]]]
     baseline_df, tiers = doc_stats(df)
     scored = score(df, baseline_df, tiers)
     bmap = dict(zip(baseline_df["url"], baseline_df["baseline"]))
-    for url, sub in scored.groupby("url", sort=False):
-        d = _Doc(sub)
+    cols = _BatchCols(scored)
+    for url, idx in scored.groupby("url", sort=False).indices.items():
+        d = _Doc(cols, idx)
         title, outline = classify_doc(d, bmap.get(url, 0.0), tiers.get(url, []))
         yield url, title, outline

@@ -989,12 +989,15 @@ class _RawSpan:
 class ContentInterpreter:
     """Executes one page's content, collecting raw device-space spans."""
 
-    def __init__(self, doc: PdfDocument, resources: dict, page_height: float):
+    def __init__(self, doc: PdfDocument, resources: dict, page_height: float,
+                 font_cache: dict | None = None):
         self.doc = doc
         self.page_height = page_height
         self.spans: list[_RawSpan] = []
         self._order = 0
-        self._font_cache: dict[int, Font] = {}
+        # shared across pages of one document: fonts are defined once
+        # per doc but referenced from every page's resources
+        self._font_cache: dict[int, Font] = font_cache if font_cache is not None else {}
         self._resources = resources
 
     def _font_for(self, resources: dict, name: str) -> Optional[Font]:
@@ -1236,6 +1239,7 @@ def extract_spans(payload: bytes) -> list[dict]:
     """%PDF bytes → spandoc pages list (the parse_spandoc shape)."""
     doc = PdfDocument(payload)
     pages_out = []
+    font_cache: dict = {}
     for page in doc.pages():
         media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
         try:
@@ -1271,7 +1275,7 @@ def extract_spans(payload: bytes) -> list[dict]:
                 c = doc.resolve(c)
                 if isinstance(c, Stream):
                     parts.append(c.data())
-        interp = ContentInterpreter(doc, resources, height)
+        interp = ContentInterpreter(doc, resources, height, font_cache=font_cache)
         if parts:
             try:
                 interp.run(b"\n".join(parts), ctm=base_ctm)
