@@ -150,3 +150,21 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    pages: DataFrame, watermark: str = "10 minutes", key: str = "url"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-crawled/duplicate urls within the
+    watermark horizon — the incremental twin of exact_duplicates and a
+    core training-data ingestion stage (a crawl emits the same url
+    from multiple seeds/retries). State is bounded by the watermark:
+    keys older than the horizon are evicted, so this runs forever on
+    an unbounded crawl. Use dropDuplicates (no watermark bound) only
+    for bounded backfills.
+
+    Input must carry an event-time column ``warc_ts``.
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

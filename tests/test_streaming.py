@@ -183,3 +183,39 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_recrawls(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on url: a corpus written twice
+    (re-crawl) streams through to exactly one row per url."""
+    import pandas as pd
+
+    from pdf_extractor_spark import corpus
+
+    pages_dir = str(tmp_path / "pages")
+    rows = corpus.build_pages_rows(40, seed=21)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    df.write.mode("overwrite").parquet(pages_dir)
+    df.write.mode("append").parquet(pages_dir)  # duplicate crawl
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(pages_dir)
+    )
+    # watermark must exceed the corpus' event-time span (40 docs × 37 s
+    # ≈ 25 min): files arrive in arbitrary order, so a short horizon
+    # would DROP late first-appearances as late data, not dedup them
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        STRM.streaming_dedup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).select("url").collect()
+    urls = [r.url for r in got]
+    assert len(urls) == len(set(urls)) == 40
