@@ -5,10 +5,12 @@ queries()    : every implemented operator from SURVEY.md §2 + the
                training-data ops (dedup / similarity / text analysis).
 oracle_sql() : DuckDB twins for all SQL-expressible queries. The
                order-dependent Arrow-stage queries (outline_extract,
-               html_extract) have no SQL oracle — they are covered by
-               the byte-identity pytest suite against the vendored-
-               free clean-room oracle (tests/refimpl.py, itself
-               diffed against the actual reference code).
+               html_extract, pdf_payload_extract) have no SQL
+               oracle — they are covered by the byte-identity pytest
+               suite against the vendor-free clean-room oracle
+               (tests/refimpl.py, itself diffed against the actual
+               reference code) and, for the real-%PDF path, by the
+               generated-PDF differential in tests/test_pdfparse.py.
 """
 
 from __future__ import annotations
