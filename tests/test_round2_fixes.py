@@ -190,3 +190,56 @@ def test_multicol_reading_order_semantics(spark):
         for r in multicol_reading_order(blocks).collect()
     }
     assert order == {1: 1, 3: 2, 0: 3, 2: 4}
+
+
+def test_resume_is_idempotent_and_partial(spark, tmp_path):
+    """Partial resume: commit 120 docs, then run 240 with --resume
+    semantics (filter_pending + append) → exactly 240 distinct urls,
+    and a second resume run adds nothing."""
+    from pdf_extractor_spark import corpus, io as pio
+    from pdf_extractor_spark.operators.extract import extract_pages
+
+    out = str(tmp_path / "out")
+    first = corpus.distributed_pages(spark, 120, seed=17)
+    pio.write_result(extract_pages(first), out, n_buckets=4)
+    full = corpus.distributed_pages(spark, 240, seed=17)
+    pending = pio.filter_pending(full, out)
+    assert pending.count() == 120  # corpus(N) is a prefix of corpus(M)
+    pio.write_result(extract_pages(pending), out, n_buckets=4, mode="append")
+    committed = pio.read_result(spark, out, include_failed=True)
+    assert committed.count() == committed.select("url").distinct().count() == 240
+    # idempotence: nothing pending after full commit
+    assert pio.filter_pending(full, out).count() == 0
+
+
+def test_input_bucketed_write_is_shuffle_free_and_equal(spark, tmp_path):
+    """write_result(input_bucketed=True) over a bucket-partitioned
+    corpus: no Exchange in the write plan, and the committed table is
+    row-identical to the repartition path."""
+    from pdf_extractor_spark import corpus, io as pio
+    from pdf_extractor_spark.operators.extract import extract_pages
+
+    corpus_dir = str(tmp_path / "bcorpus")
+    corpus.materialize_bucketed_corpus(
+        spark, 100, corpus_dir, seed=23, n_buckets=4, files_per_bucket=2
+    )
+    pages = spark.read.parquet(corpus_dir)
+    result = extract_pages(pages)
+    plan = pio.with_bucket(result, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    out_a = str(tmp_path / "out_bucketed")
+    out_b = str(tmp_path / "out_shuffled")
+    stats_a = pio.write_result(result, out_a, n_buckets=4, input_bucketed=True)
+    stats_b = pio.write_result(result, out_b, n_buckets=4)
+    for k in ("rows_in", "rows_out", "parse_failures", "payload_bytes"):
+        assert stats_a[k] == stats_b[k]
+    a = {
+        (r.url, r.title, r.bucket)
+        for r in pio.read_result(spark, out_a, include_failed=True).collect()
+    }
+    b = {
+        (r.url, r.title, r.bucket)
+        for r in pio.read_result(spark, out_b, include_failed=True).collect()
+    }
+    assert a == b and len(a) == 100
