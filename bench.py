@@ -428,6 +428,20 @@ barrier except the final write commit. On a real 1000-executor
 cluster the same plan reads Iceberg splits; nothing else changes, and
 executor counts scale independent of per-host frequency effects.
 
+### Reading raw vs normalized across protocol versions
+
+Protocol v3 (round-2 code before the Arrow-stage speedup) measured
+raw e2e 0.81; v4 measures the SAME pipeline after the extraction
+stage got ~2.5× faster per document — and raw efficiency DROPPED.
+That is Amdahl, not regression: faster per-doc compute shrinks the
+parallel fraction, so the host's own 8→32 ceiling (0.73: hypervisor
+co-tenancy + shared memory bandwidth — measured with the reference's
+own mp.Pool model on identical work) and per-job constants weigh
+more. A 4×-executor cluster of separate hosts does not share one
+socket's bandwidth, which is why the normalized column is the
+transferable number and the compute stage sits at ~0.96 of the
+hardware limit.
+
 Reproduce: `python bench.py --scaling`
 (SPARK_GRAFT_SCALING_DOCS, default {out["n_docs"]};
 SPARK_GRAFT_SCALING_ROUNDS, default {out["rounds"]}).
