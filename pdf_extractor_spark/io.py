@@ -58,12 +58,51 @@ def write_result(
     table_dir = os.path.join(out_dir, "result")
     bucketed = with_bucket(result, n_buckets)
     if input_bucketed:
-        (
-            bucketed.write.mode(mode)
-            .partitionBy("bucket")
-            .parquet(table_dir)
+        # Lineage via df.observe: the metrics ride the write itself —
+        # ZERO extra IO. At 100 TB the alternative (re-scanning the
+        # committed table, even column-pruned) reads back a slice of
+        # everything just written; CollectMetrics costs one pass of
+        # per-row conditional sums that scales with executors instead.
+        # (The non-bucketed path keeps the rescan: it already pays an
+        # exchange, and the rescan re-aggregates appends for free.)
+        from pyspark.sql import Observation
+
+        metrics = []
+        for b in range(n_buckets):
+            hit = F.col("bucket") == b
+            metrics.extend(
+                [
+                    F.sum(F.when(hit, 1).otherwise(0)).alias(f"in_{b}"),
+                    F.sum(F.when(hit & F.col("parse_ok"), 1).otherwise(0)).alias(f"out_{b}"),
+                    F.sum(
+                        F.when(hit, F.col("payload_bytes")).otherwise(F.lit(0))
+                    ).alias(f"bytes_{b}"),
+                ]
+            )
+        obs = Observation()
+        observed = bucketed.observe(obs, metrics[0], *metrics[1:])
+        observed.write.mode(mode).partitionBy("bucket").parquet(table_dir)
+        t_write1 = time.time()
+        m = obs.get
+        lineage_rows = []
+        for b in range(n_buckets):
+            rows_in = int(m.get(f"in_{b}") or 0)
+            rows_out = int(m.get(f"out_{b}") or 0)
+            if rows_in == 0:
+                continue
+            lineage_rows.append(
+                {
+                    "bucket": b,
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "parse_failures": rows_in - rows_out,
+                    "payload_bytes": int(m.get(f"bytes_{b}") or 0),
+                }
+            )
+        return _write_manifest(
+            out_dir, n_buckets, lineage_rows, t_write0, t_write1,
+            merge_previous=(mode == "append"),
         )
-        return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
     # repartition on the bucket key before the write: each reduce task
     # then writes into exactly one bucket dir (one file per bucket,
     # not tasks×buckets tiny files — measured 13s vs 0s of overhead at
@@ -106,9 +145,39 @@ def _finish_lineage(
         .orderBy("bucket")
     )
     lineage_rows = [r.asDict() for r in lineage.collect()]
+    return _write_manifest(out_dir, n_buckets, lineage_rows, t_write0, t_write1)
 
+
+def _write_manifest(
+    out_dir: str,
+    n_buckets: int,
+    lineage_rows: list[dict],
+    t_write0: float,
+    t_write1: float,
+    merge_previous: bool = False,
+) -> dict:
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)
+    manifest_path = os.path.join(lineage_dir, "manifest.json")
+    if merge_previous and os.path.exists(manifest_path):
+        # observe only sees THIS write's rows; appends (resume) merge
+        # the prior snapshot so totals stay cumulative like the rescan
+        with open(manifest_path, encoding="utf-8") as f:
+            prev = {p["bucket"]: p for p in json.load(f).get("partitions", [])}
+        merged: dict[int, dict] = dict(prev)
+        for r in lineage_rows:
+            b = r["bucket"]
+            if b in merged:
+                merged[b] = {
+                    "bucket": b,
+                    **{
+                        k: merged[b][k] + r[k]
+                        for k in ("rows_in", "rows_out", "parse_failures", "payload_bytes")
+                    },
+                }
+            else:
+                merged[b] = r
+        lineage_rows = [merged[b] for b in sorted(merged)]
     snapshot = {
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_buckets": n_buckets,
@@ -120,7 +189,7 @@ def _finish_lineage(
             "payload_bytes": sum(r["payload_bytes"] or 0 for r in lineage_rows),
         },
     }
-    with open(os.path.join(lineage_dir, "manifest.json"), "w", encoding="utf-8") as f:
+    with open(manifest_path, "w", encoding="utf-8") as f:
         json.dump(snapshot, f, indent=2)
     return {
         **snapshot["totals"],
