@@ -230,3 +230,68 @@ def test_rotate_page_transforms():
     )
     assert r90[0]["width"] != base[0]["width"]  # dims swapped
     assert sorted(flat(r90)) == sorted(flat(base))  # same spans, new layout
+
+
+def test_fuzzed_pdfs_never_hang(spark):
+    """Robustness at corpus scale: random truncations, bit flips, and
+    splices of real and generated PDFs must either parse or raise —
+    within a wall-clock budget (no pathological loops) — and the Spark
+    pipeline must convert every failure into a parse_ok=false row."""
+    import random
+    import signal
+    import time as _time
+
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.sources import pdfparse
+
+    rng = random.Random(424242)
+    seeds = [(FIXTURES / f"file{i:02d}.pdf").read_bytes() for i in (1, 4, 5)]
+    seeds += [corpus.random_pdf(random.Random(s)) for s in range(3)]
+    mutants = []
+    for i in range(150):
+        base = bytearray(rng.choice(seeds))
+        op = rng.randrange(4)
+        if op == 0:  # truncate
+            del base[rng.randrange(1, len(base)) :]
+        elif op == 1:  # bit flips
+            for _ in range(rng.randrange(1, 30)):
+                base[rng.randrange(len(base))] ^= 1 << rng.randrange(8)
+        elif op == 2:  # splice two docs
+            other = rng.choice(seeds)
+            cut = rng.randrange(1, len(base))
+            base = base[:cut] + other[rng.randrange(len(other)) :]
+        else:  # garbage insertion
+            pos = rng.randrange(len(base))
+            base[pos:pos] = bytes(rng.getrandbits(8) for _ in range(64))
+        mutants.append(bytes(base[:200_000]))
+
+    def _alarm(signum, frame):
+        raise TimeoutError("parser exceeded per-doc budget")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    n_ok = n_fail = 0
+    try:
+        for m in mutants:
+            signal.alarm(10)
+            t0 = _time.time()
+            try:
+                pdfparse.extract_spans(m)
+                n_ok += 1
+            except TimeoutError:
+                raise AssertionError("parser hung on a fuzzed document")
+            except Exception:
+                n_fail += 1
+            finally:
+                signal.alarm(0)
+            assert _time.time() - t0 < 10
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert n_ok + n_fail == 150 and n_ok > 0
+
+    # pipeline-level: fuzzed payloads become rows, never job failures
+    df = spark.createDataFrame(
+        [(f"fz{i}", m) for i, m in enumerate(mutants[:40])], "url string, html binary"
+    )
+    rows = extract_pages(df).select("url", "parse_ok").collect()
+    assert len(rows) == 40
