@@ -74,6 +74,9 @@ class Stream:
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _REGULAR_END = _WS + _DELIM
+# "<gen> R" lookahead for indirect references — compiled once and
+# matched with a position argument (no per-number bytes slice)
+_REF_RX = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
 
 
 class Lexer:
@@ -242,10 +245,10 @@ class Lexer:
             return Name(tok.decode("latin-1", "replace"))
         save = self.pos
         self._skip_ws()
-        m = re.match(rb"(\d+)\s+R(?![A-Za-z0-9])", buf[self.pos : self.pos + 24])
+        m = _REF_RX.match(buf, self.pos)
         if m and num >= 0:
             # confirm the middle token really was a generation number
-            self.pos += m.end()
+            self.pos = m.end()
             return Ref(num, int(m.group(1)))
         self.pos = save
         return num
