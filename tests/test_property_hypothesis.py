@@ -134,3 +134,66 @@ def test_full_pipeline_property(doc_specs):
         got = {}
     for url, exp in expected.items():
         assert got.get(url) == exp, url
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1,
+            max_size=60,
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pdf_writer_parser_roundtrip(lines):
+    """Property: arbitrary printable-ASCII lines written as a PDF
+    content stream (with ()\\ escaping) come back EXACTLY through the
+    pure-Python parser — writer and parser are inverses on text.
+    Exercises literal-string escape handling end to end."""
+    import zlib
+
+    from pdf_extractor_spark.corpus import _pdf_escape
+    from pdf_extractor_spark.sources import pdfparse
+
+    ops = []
+    y = 720
+    for ln in lines:
+        ops.append(b"BT /F1 12 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(ln)))
+        y -= 24
+    content = zlib.compress(b"\n".join(ops))
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def emit(num, body):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num)
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    emit(
+        4,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+    )
+    emit(
+        5,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(content), content),
+    )
+    xref_off = len(buf)
+    buf.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for num in range(1, 6):
+        buf.extend(b"%010d 00000 n \n" % offsets[num])
+    buf.extend(
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+
+    pages = pdfparse.extract_spans(bytes(buf))
+    got = [sp["text"] for p in pages for b in p["blocks"] for l in b for sp in l]
+    assert got == lines
