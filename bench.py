@@ -122,6 +122,10 @@ def contract_mode() -> None:
             sf = float(tok)
         except ValueError:
             pass
+    # round-1 comparability: the headline set grew by 2 queries in
+    # round 2 (pdf_payload_extract, fingerprint_winnow); expose the
+    # round-1 17-query subtotal so value deltas are apples-to-apples
+    r1_set = [q for q in HEADLINE if q not in ("pdf_payload_extract", "fingerprint_winnow")]
     out = {
         "metric": "headline_suite_wall_clock",
         "value": res["total_sec"],
@@ -132,6 +136,9 @@ def contract_mode() -> None:
             "docs_per_sec_flagship": res["docs_per_sec"],
             "cores": cpus,
             "rows": res["rows"],
+            "round1_comparable_17q_sec": round(
+                sum(res["queries"][q] for q in r1_set), 3
+            ),
         },
     }
     print(json.dumps(out))
