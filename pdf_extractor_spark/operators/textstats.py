@@ -34,8 +34,15 @@ def _words(text_col) -> F.Column:
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc prose-quality signals: token count, mean word length,
-    vocabulary richness, stopword density, composite quality score."""
-    w = _words(F.col(text_col))
+    vocabulary richness, stopword density, composite quality score.
+    The word array is materialized once per row — four inlined copies
+    of the split would each re-split the document."""
+    with_words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        _words(F.col(text_col)).alias("w"),
+    )
+    w = F.col("w")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_words = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
@@ -44,10 +51,10 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # raw doubles are bit-identical across engines — round() is NOT
     # (Spark BigDecimal HALF_UP vs DuckDB's C rounding differ at float
     # representation boundaries)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return with_words.select(
+        "doc_id",
         n_words.cast("bigint").alias("n_words"),
-        (F.length(text_col) / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
+        (F.col("n_chars") / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
         (n_distinct / F.greatest(n_words, F.lit(1)).cast("double")).alias("distinct_ratio"),
         (n_stop / F.greatest(n_words, F.lit(1)).cast("double")).alias("stop_ratio"),
     ).withColumn(
@@ -102,16 +109,45 @@ def fingerprint_kmin(
 ) -> DataFrame:
     """k-min-hash document fingerprint: the k smallest md5 shingle
     hashes joined into one string — a compact sketch whose equality
-    implies near-duplication (bottom-k sketch)."""
-    from .dedup import _hash64, shingles
+    implies near-duplication (bottom-k sketch).
 
-    sh = shingles(docs, id_col, text_col, n).withColumn("h", _hash64(F.col("shingle")))
-    w = W.partitionBy("doc_id").orderBy(F.asc("h"))
-    topk = sh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return topk.groupBy("doc_id").agg(
-        F.concat_ws(
-            "_", F.expr("transform(array_sort(collect_list(struct(rn, h))), x -> cast(x.h as string))")
-        ).alias("fingerprint")
+    Map-only: the shingle set, hashes, sort, and bottom-k slice are all
+    per-row array expressions (doc_id is unique per input row), so NO
+    shuffle — round 1 exploded every shingle and ran a per-doc window,
+    i.e. shuffled the corpus' full shingle table. Word and gram arrays
+    are materialized as projections first (interpreted-HOF rule: an
+    inlined subexpression re-evaluates per element)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = words.select("doc_id", F.array_distinct(grams).alias("g"))
+    hashes = F.array_sort(
+        F.transform(
+            F.col("g"),
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 14), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    return (
+        with_grams.filter(F.size("g") > 0)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "_",
+                F.transform(F.slice(hashes, 1, k), lambda h: h.cast("string")),
+            ).alias("fingerprint"),
+        )
     )
 
 
