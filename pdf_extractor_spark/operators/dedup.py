@@ -200,34 +200,23 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     md5-hash bit; the sign of the vote sum sets the output bit.
     Bit extraction uses floor(h / 2^b) % 2 — portable to DuckDB
     (shift operators differ across dialects, power-of-two division
-    does not).
-
-    Map-only: the word-hash array is materialized once per row and the
-    32 bit-votes are per-row ``aggregate`` folds — zero shuffles
-    (round 1 exploded words × 32 bits through two groupBys, shuffling
-    32× the corpus word count). doc_id is unique per input row, so no
-    cross-row combination is needed at all."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            words,
-            lambda w: F.conv(
-                F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10
-            ).cast("bigint"),
-        ).alias("hs"),
+    does not)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h32 = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    hashed = words.withColumn("h", h32)
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "vote",
+        F.when((F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))) % 2) == 1, 1).otherwise(-1),
     )
-    hs = F.col("hs")
-    simhash = None
-    for b in range(32):
-        vote = F.aggregate(
-            hs,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when((F.floor(h / F.lit(float(2 ** b))) % 2) == 1, 1).otherwise(-1),
-        )
-        bit = F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        simhash = bit if simhash is None else simhash + bit
-    # word-less docs emit no row (parity with the exploded form and
-    # the SQL oracle, where such docs simply have no word rows)
-    return hashed.filter(F.size(hs) > 0).select("doc_id", simhash.alias("simhash"))
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(0)
+        ).alias("simhash")
+    )
