@@ -70,11 +70,15 @@ def suppress_headers_footers(
     recurrence: float = 0.6,
     y_bin: float = 120.0,
 ) -> DataFrame:
-    """blocks minus the flagged furniture (the consuming form)."""
+    """blocks minus the flagged furniture (the consuming form).
+
+    Left join + coalesce: a block absent from the flag table (e.g.
+    NULL block_text never matches the recurrence self-join) must be
+    KEPT, not silently dropped by an inner join."""
     flags = header_footer_flags(blocks, min_pages, recurrence, y_bin)
     return (
-        blocks.join(flags, ["doc_id", "block_idx"])
-        .filter(~F.col("is_furniture"))
+        blocks.join(flags, ["doc_id", "block_idx"], "left")
+        .filter(~F.coalesce(F.col("is_furniture"), F.lit(False)))
         .drop("is_furniture")
     )
 
