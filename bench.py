@@ -84,19 +84,24 @@ def _run_once(sf_dir: str, master: str, shuffle: int) -> dict:
         lambda it: it, schema="id long"
     ).count()
 
-    # Best-of-2 per query: this host shows multi-second noise spikes
-    # (co-tenant load, JVM GC); min is the standard steady-state
+    # Best-of-2 per query (best-of-3 when the first two disagree by
+    # >25% — i.e. a co-tenant storm hit one of them): this host shows
+    # multi-second noise spikes; min is the standard steady-state
     # estimator for a deterministic workload.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        samples = []
         for _ in range(2):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.time() - t0)
+        if abs(samples[0] - samples[1]) / max(min(samples), 1e-9) > 0.25:
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 4)
         rows[name] = n
     total = sum(timings.values())
 
