@@ -80,8 +80,16 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
     )
     hits = words.join(lex, "word").groupBy("doc_id", "lang").agg(F.count("*").alias("hits"))
-    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    # argmax via min_by on (-hits, lang): max hits, ties to the
+    # lexicographically smallest lang — identical to the former
+    # row_number window but map-side combinable (no per-doc sort
+    # shuffle; the hits table partial-aggregates before the exchange)
+    best = hits.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("lang"), F.col("hits")),
+            F.struct((-F.col("hits")).alias("nh"), F.col("lang")),
+        ).alias("b")
+    ).select("doc_id", F.col("b.lang").alias("lang"), F.col("b.hits").alias("hits"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(best.select("doc_id", "lang", "hits"), "doc_id", "left")
