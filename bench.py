@@ -288,8 +288,12 @@ def scaling_mode() -> None:
     state["n_docs"] = n_docs
     state["protocol_v"] = 4
 
-    print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
-    ceiling = max(_hardware_ceiling(), float(state.get("ceiling", 0.0)))
+    e2e_only = os.environ.get("SPARK_GRAFT_SCALING_E2E_ONLY") == "1"
+    if e2e_only:
+        ceiling = float(state.get("ceiling", 0.0))
+    else:
+        print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
+        ceiling = max(_hardware_ceiling(), float(state.get("ceiling", 0.0)))
     state["ceiling"] = ceiling
     print(f"host ceiling (best observed): {ceiling:.3f}", file=sys.stderr)
 
@@ -312,7 +316,7 @@ def scaling_mode() -> None:
 
     from pdf_extractor_spark.operators.extract import extract_pages
 
-    for rnd in range(rounds):
+    for rnd in range(0 if e2e_only else rounds):
         for cores in (8, 32):
             act = SparkSession.getActiveSession()
             if act:
