@@ -824,6 +824,7 @@ class Font:
                 self.tounicode = {}
         self.default_width = 500.0
         self.widths: dict[int, float] = {}
+        self._dec_table: list | None = None
         self.ascent = 0.8
         self.descent = -0.2
         if self.subtype == "Type0":
@@ -944,11 +945,22 @@ class Font:
                 code = s[-1]
                 out.append((self.tounicode.get(code, ""), self.default_width, code))
         else:
+            # hot path: one precomputed (text, width, code) per byte —
+            # built lazily on first show op for this font
+            table = self._dec_table
+            if table is None:
+                table = self._dec_table = [
+                    (
+                        self.tounicode.get(c, self.enc.get(c, ""))
+                        if self.tounicode.get(c) is None
+                        else self.tounicode[c],
+                        self.widths.get(c, self.default_width),
+                        c,
+                    )
+                    for c in range(256)
+                ]
             for code in s:
-                txt = self.tounicode.get(code)
-                if txt is None:
-                    txt = self.enc.get(code, "")
-                out.append((txt, self.widths.get(code, self.default_width), code))
+                out.append(table[code])
         return out
 
 
