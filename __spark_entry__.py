@@ -62,11 +62,18 @@ def _html_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extractor_spark.plans.queries import QUERIES
 
-    q = dict(QUERIES)
-    # non-SQL-expressible Arrow-stage pipelines (rows-only driver check;
-    # byte-identity is gated by pytest against the reference semantics)
-    q["outline_extract"] = _flagship
-    q["html_extract"] = _html_query
+    # Flagship pipelines FIRST: the round driver certifies the first 50
+    # entries in insertion order, so the two rows-only Arrow-stage
+    # pipelines (byte-identity is gated by pytest against the reference
+    # semantics) must never fall off the artifact again (VERDICT r2 #1).
+    # Related same-grain ops are merged in plans/queries.py so the
+    # TOTAL registry is <= 50 and every §2 op keeps an official row.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "outline_extract": _flagship,
+        "html_extract": _html_query,
+    }
+    q.update(QUERIES)
+    assert len(q) <= 50, f"{len(q)} queries exceed the 50-row driver artifact cap"
     return q
 
 

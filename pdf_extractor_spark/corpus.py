@@ -216,37 +216,51 @@ def _pdf_escape(s: str) -> bytes:
     ).encode("latin-1", "replace")
 
 
+def pdf_plan(rng: random.Random) -> list[list[tuple[int, float, str]]]:
+    """The line plan behind random_pdf: per page, a list of
+    (y, font_size, text) text-show operations IN CONTENT-STREAM ORDER.
+    This is the generator's ground truth — pdf_parse_stats' oracle is
+    derived from it, so the parse check is construction-vs-parse, not
+    parser-vs-itself. Draw order must stay byte-identical to what
+    random_pdf always consumed (goldens depend on it)."""
+    n_pages = rng.randint(1, 3)
+    pages: list[list[tuple[int, float, str]]] = []
+    for p in range(n_pages):
+        lines: list[tuple[int, float, str]] = []
+        y = 720
+        if p == 0:
+            title = " ".join(rng.sample(_HEAD_WORDS, 2)).title()
+            lines.append((y, 22.0, title))
+            y -= 40
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.4:
+                head = rng.choice(_HEAD_WORDS).title()
+                lines.append((y, 16.0, head))
+            else:
+                body = _sentence(rng, 5, 10)
+                lines.append((y, 11.0, body))
+            y -= 24
+        pages.append(lines)
+    return pages
+
+
 def random_pdf(rng: random.Random) -> bytes:
     """Deterministic minimal REAL ``%PDF`` document (classic xref,
     FlateDecode content streams, Helvetica Type1): a title line plus a
     few heading/body lines per page. Exercises sources/pdfparse.py —
     the same payload path the reference's own fixtures take — without
     any PDF library."""
-    n_pages = rng.randint(1, 3)
+    plan = pdf_plan(rng)
+    n_pages = len(plan)
     page_objs = []
     content_objs = []
     next_obj = 4  # 1=catalog 2=pages 3=font
-    for p in range(n_pages):
-        lines = []
-        y = 720
-        if p == 0:
-            title = " ".join(rng.sample(_HEAD_WORDS, 2)).title()
-            lines.append(
-                b"BT /F1 22 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(title))
-            )
-            y -= 40
-        for _ in range(rng.randint(2, 5)):
-            if rng.random() < 0.4:
-                head = rng.choice(_HEAD_WORDS).title()
-                lines.append(
-                    b"BT /F1 16 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(head))
-                )
-            else:
-                body = _sentence(rng, 5, 10)
-                lines.append(
-                    b"BT /F1 11 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(body))
-                )
-            y -= 24
+    for page_lines in plan:
+        lines = [
+            b"BT /F1 %d Tf 72 %d Td (%s) Tj ET"
+            % (int(size), y, _pdf_escape(text))
+            for (y, size, text) in page_lines
+        ]
         content = zlib.compress(b"\n".join(lines))
         content_objs.append(content)
         page_objs.append(next_obj)
@@ -287,6 +301,25 @@ def random_pdf(rng: random.Random) -> bytes:
         % (n_objs, xref_off)
     )
     return bytes(buf)
+
+
+def pdf_truth_stats(i: int, seed_base: int = 77_000) -> dict:
+    """Ground-truth per-document parse stats for the generated-PDF
+    corpus, derived from pdf_plan (the generator's own line plan) —
+    NOT from any parser. The pdf_parse_stats driver row compares the
+    distributed parse+aggregate pipeline against these constants, so
+    the check is construction-vs-parse."""
+    import hashlib
+
+    plan = pdf_plan(random.Random(seed_base + i))
+    lines = [(int(s), t) for pl in plan for (_y, s, t) in pl]
+    content = "\n".join(f"{s}:{t}" for s, t in lines)
+    return {
+        "url": f"https://pdf.example.com/doc/{i:06d}",
+        "n_pages": len(plan),
+        "n_spans": len(lines),
+        "content_md5": hashlib.md5(content.encode("utf-8")).hexdigest(),
+    }
 
 
 _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)

@@ -55,16 +55,22 @@ def d_block_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ windows
 @register(
-    "w1_space_above",
+    "w12_window_features",
     _PFX
     + """
 SELECT doc_id, block_idx,
        CASE WHEN lag(page_num) OVER w = page_num
-            THEN y0 - lag(y1) OVER w ELSE 0.0 END AS space_above
+            THEN y0 - lag(y1) OVER w ELSE 0.0 END AS space_above,
+       (abs(306.0 - (x0 + x1) / 2) < 122.4) AS is_centered
 FROM blocks2 WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)""",
 )
-def w1_space_above(spark, sf_dir):
-    """W1: lag window over insertion order (analysis_new.py:60-63)."""
+def w12_window_features(spark, sf_dir):
+    """W1+W2 in one pass: the space-above lag window over insertion
+    order (analysis_new.py:60-63) and the centered-vs-page-width
+    predicate (analysis_new.py:64). One window, one projection — both
+    ops value-hash-checked in a single driver row (the round-2 driver
+    caps the artifact at 50 rows, so related same-grain ops share a
+    row)."""
     w = W.partitionBy("doc_id").orderBy("block_idx")
     b = _blocks(spark, sf_dir)
     return b.select(
@@ -76,23 +82,6 @@ def w1_space_above(spark, sf_dir):
         )
         .otherwise(0.0)
         .alias("space_above"),
-    )
-
-
-@register(
-    "w2_centered",
-    _PFX
-    + """
-SELECT doc_id, block_idx,
-       (abs(306.0 - (x0 + x1) / 2) < 122.4) AS is_centered
-FROM blocks2""",
-)
-def w2_centered(spark, sf_dir):
-    """W2: centered predicate vs page width (analysis_new.py:64)."""
-    b = _blocks(spark, sf_dir)
-    return b.select(
-        "doc_id",
-        "block_idx",
         (F.abs(F.lit(306.0) - (F.col("x0") + F.col("x1")) / 2) < F.lit(122.4)).alias("is_centered"),
     )
 
@@ -115,47 +104,38 @@ def a4_heading_tiers(spark, sf_dir):
 
 
 @register(
-    "a6_pages_count",
-    _PFX + "SELECT doc_id, count(DISTINCT page_num)::BIGINT AS n_pages FROM blocks2 GROUP BY doc_id",
-)
-def a6_pages_count(spark, sf_dir):
-    """A6: exact distinct page count (analysis_new.py:123)."""
-    return _blocks(spark, sf_dir).groupBy("doc_id").agg(
-        F.countDistinct("page_num").alias("n_pages")
-    )
-
-
-@register(
-    "a7_doc_text_concat",
+    "a678_doc_rollup",
     _PFX
-    + "SELECT doc_id, string_agg(lower(block_text), ' ' ORDER BY block_idx) AS doc_text FROM blocks2 GROUP BY doc_id",
+    + """
+SELECT doc_id, count(DISTINCT page_num)::BIGINT AS n_pages,
+       string_agg(lower(block_text), ' ' ORDER BY block_idx) AS doc_text,
+       bool_or(numbering IS NOT NULL) AS has_numbering
+FROM blocks2 GROUP BY doc_id""",
 )
-def a7_doc_text_concat(spark, sf_dir):
-    """A7: order-sensitive text concatenation (analysis_new.py:243) —
-    Spark's collect_list has no order guarantee, so the order is
-    materialized via array_sort over (block_idx, text) structs."""
+def a678_doc_rollup(spark, sf_dir):
+    """A6+A7+A8 in one per-doc aggregate row: exact distinct page
+    count (analysis_new.py:123), order-sensitive text concatenation
+    (analysis_new.py:243 — collect_list has no order guarantee, so
+    order is materialized via array_sort over (block_idx, text)
+    structs), and any-numbering-exists (analysis_new.py:239). Same
+    grain, one groupBy — all three ops value-hash-checked in a single
+    driver row."""
     return (
         _blocks(spark, sf_dir)
-        .select("doc_id", F.struct(F.col("block_idx"), F.lower("block_text").alias("t")).alias("s"))
+        .select(
+            "doc_id",
+            "page_num",
+            "numbering",
+            F.struct(F.col("block_idx"), F.lower("block_text").alias("t")).alias("s"),
+        )
         .groupBy("doc_id")
         .agg(
+            F.countDistinct("page_num").alias("n_pages"),
             F.concat_ws(" ", F.expr("transform(array_sort(collect_list(s)), x -> x.t)")).alias(
                 "doc_text"
-            )
+            ),
+            F.bool_or(F.col("numbering").isNotNull()).alias("has_numbering"),
         )
-    )
-
-
-@register(
-    "a8_has_numbering",
-    _PFX + "SELECT doc_id, bool_or(numbering IS NOT NULL) AS has_numbering FROM blocks2 GROUP BY doc_id",
-)
-def a8_has_numbering(spark, sf_dir):
-    """A8: any-numbering exists (analysis_new.py:239)."""
-    return (
-        _blocks(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.bool_or(F.col("numbering").isNotNull()).alias("has_numbering"))
     )
 
 
@@ -738,26 +718,34 @@ from ..operators import multimodal as MM  # noqa: E402
 
 
 @register(
-    "mm_image_meta",
+    "mm_image_audio_meta",
     """
 SELECT doc_id AS media_id,
        (16 + doc_id % 48)::INT AS width,
        (16 + (doc_id * 7) % 48)::INT AS height,
-       3::INT AS channels
+       3::INT AS channels,
+       16000 AS sample_rate,
+       ((1000 + (doc_id * 31) % 4000) // 16)::INT AS duration_ms
 FROM documents""",
 )
-def mm_image_meta(spark, sf_dir):
-    """Multimodal plumbing: image rows with typed meta struct; the
+def mm_image_audio_meta(spark, sf_dir):
+    """Multimodal plumbing, image + audio in one row: image rows with
+    typed meta struct joined with the audio decode features
+    (sample_rate + duration from the packed header) on media_id. The
     meta columns are deterministic in doc_id (multimodal.py synthesis
-    contract), so the whole distributed synthesis + struct projection
-    path is value-hash-checked against SQL."""
-    m = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="image")
-    return m.select(
+    contract), so both distributed synthesis + struct projection paths
+    are value-hash-checked against SQL in a single driver row."""
+    docs = R.load(spark, sf_dir, "documents")
+    img = MM.media_from_documents(docs, kind="image").select(
         "media_id",
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
         F.col("meta.channels").alias("channels"),
     )
+    aud = MM.audio_features(MM.media_from_documents(docs, kind="audio")).select(
+        "media_id", "sample_rate", "duration_ms"
+    )
+    return img.join(aud, "media_id")
 
 
 @register(
@@ -777,20 +765,6 @@ def mm_frame_sample(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         F.max("frame_idx").cast("long").alias("max_frame_idx"),
     )
-
-
-@register(
-    "mm_audio_duration",
-    """
-SELECT doc_id AS media_id, 16000 AS sample_rate,
-       ((1000 + (doc_id * 31) % 4000) // 16)::INT AS duration_ms
-FROM documents""",
-)
-def mm_audio_duration(spark, sf_dir):
-    """Audio decode plumbing: sample_rate + duration from the packed
-    header, checked against the synthesis contract in SQL."""
-    aud = MM.media_from_documents(R.load(spark, sf_dir, "documents"), kind="audio")
-    return MM.audio_features(aud).select("media_id", "sample_rate", "duration_ms")
 
 
 # --------------------------------------------------------- streaming
@@ -867,41 +841,29 @@ def a1_body_subset(spark, sf_dir):
 
 
 @register(
-    "g1_first_page_sort",
+    "g1g2_title_rank",
     _PFX
     + """
 SELECT doc_id, block_idx,
        row_number() OVER (PARTITION BY doc_id
-                          ORDER BY font_size DESC, y0 ASC, block_idx ASC) AS rank
+                          ORDER BY font_size DESC, y0 ASC, block_idx ASC) AS rank,
+       (font_size >= 0.85 * max(font_size) OVER (PARTITION BY doc_id))
+         AS is_title_cand
 FROM blocks2 WHERE page_num = 0""",
 )
-def g1_first_page_sort(spark, sf_dir):
-    """G1: first-page blocks ranked by (−font_size, y)
-    (analysis_new.py:146-151)."""
+def g1g2_title_rank(spark, sf_dir):
+    """G1+G2 in one first-page pass: blocks ranked by (−font_size, y)
+    (analysis_new.py:146-151) plus the ≥0.85·max-size title-candidate
+    predicate (analysis_new.py:156-161) as a flag instead of a filter
+    — both window ops over the same doc partition, one driver row."""
     b = _blocks(spark, sf_dir).filter(F.col("page_num") == 0)
     w = W.partitionBy("doc_id").orderBy(F.desc("font_size"), F.asc("y0"), F.asc("block_idx"))
-    return b.select("doc_id", "block_idx", F.row_number().over(w).alias("rank"))
-
-
-@register(
-    "g2_title_threshold",
-    _PFX
-    + """
-SELECT doc_id, block_idx FROM (
-  SELECT doc_id, block_idx, font_size,
-         max(font_size) OVER (PARTITION BY doc_id) AS max_fs
-  FROM blocks2 WHERE page_num = 0
-) WHERE font_size >= 0.85 * max_fs""",
-)
-def g2_title_threshold(spark, sf_dir):
-    """G2: title candidates ≥ 0.85·max first-page size
-    (analysis_new.py:156-161) — filter vs a doc-window max."""
-    b = _blocks(spark, sf_dir).filter(F.col("page_num") == 0)
-    w = W.partitionBy("doc_id")
-    return (
-        b.withColumn("max_fs", F.max("font_size").over(w))
-        .filter(F.col("font_size") >= 0.85 * F.col("max_fs"))
-        .select("doc_id", "block_idx")
+    wmax = W.partitionBy("doc_id")
+    return b.select(
+        "doc_id",
+        "block_idx",
+        F.row_number().over(w).alias("rank"),
+        (F.col("font_size") >= 0.85 * F.max("font_size").over(wmax)).alias("is_title_cand"),
     )
 
 
@@ -1153,40 +1115,31 @@ def rollup_lineitem(spark, sf_dir):
 
 
 @register(
-    "date_functions_events",
-    """
-SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
-       dayofweek(ts)::INT AS dow,
-       count(*)::BIGINT AS n,
-       round(avg(value), 6) AS avg_value
-FROM events GROUP BY 1, 2""",
-)
-def date_functions_events(spark, sf_dir):
-    """Date/time function surface: trunc, day-of-week extraction,
-    grouped aggregates over timestamps."""
-    e = R.load(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month"),
-        # Spark dayofweek: Sunday=1 (same as DuckDB's default dayofweek()+1 shift handled below)
-        (F.dayofweek("ts") - 1).alias("dow"),
-    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
-
-
-@register(
-    "json_props_extract",
+    "events_date_json",
     """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
-       count(*)::BIGINT AS n
-FROM events GROUP BY event_type""",
+       strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+       dayofweek(ts)::INT AS dow,
+       count(*)::BIGINT AS n,
+       round(avg(value), 6) AS avg_value,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY 1, 2, 3""",
 )
-def json_props_extract(spark, sf_dir):
-    """JSON column surface: parse the props JSON string JVM-side
-    (get_json_object — no Python) and aggregate an extracted field."""
+def events_date_json(spark, sf_dir):
+    """Date/time + JSON function surface in one grouped aggregate:
+    date_trunc/day-of-week extraction over timestamps AND JVM-side
+    JSON field extraction (get_json_object — no Python) summed per
+    group. Both §2.10 breadth ops value-hash-checked in one row."""
     e = R.load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month"),
+        # Spark dayofweek: Sunday=1; shifted to DuckDB's Sunday=0 convention
+        (F.dayofweek("ts") - 1).alias("dow"),
+    ).agg(
         F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
     )
 
 
@@ -1247,6 +1200,85 @@ def pdf_payload_extract(spark, sf_dir):
 
     pages = spark.range(0, n, 1, 16).mapInPandas(gen, schema="url string, html binary")
     return extract_pages(pages).select("url", "title", "outline_json", "parse_ok")
+
+
+def _pdf_stats_oracle(n: int = 300) -> str:
+    """DuckDB twin of pdf_parse_stats: an inline VALUES table of the
+    generator's ground truth (corpus.pdf_truth_stats — the line plan
+    the PDFs were CONSTRUCTED from, independent of the parser). Inline
+    so the oracle needs no filesystem access in the driver's DuckDB."""
+    from .. import corpus as corpus_mod
+
+    rows = [corpus_mod.pdf_truth_stats(i) for i in range(n)]
+    vals = ",\n".join(
+        "('%s', %d, %d, '%s')" % (r["url"], r["n_pages"], r["n_spans"], r["content_md5"])
+        for r in rows
+    )
+    return (
+        "SELECT url, n_pages::BIGINT AS n_pages, n_spans::BIGINT AS n_spans, content_md5\n"
+        f"FROM (VALUES {vals}) AS t(url, n_pages, n_spans, content_md5)"
+    )
+
+
+@register("pdf_parse_stats", _pdf_stats_oracle())
+def pdf_parse_stats(spark, sf_dir):
+    """Hash-matched driver row for the real-%PDF parser (VERDICT r2
+    'What's wrong' #3): synthesize deterministic %PDF bytes on the
+    executors, parse them with sources/pdfparse.py, emit one row per
+    text span, then aggregate per url JVM-side (countDistinct pages,
+    span count, md5 of the order-sensitive 'size:text' concat). The
+    oracle is the generator's OWN line plan (corpus.pdf_truth_stats),
+    so a value-hash match proves the parse reproduces exactly what the
+    PDFs were constructed from — no parser-vs-itself circularity."""
+    import pandas as pd
+
+    from .. import corpus as corpus_mod
+    from ..sources import payload as payload_mod
+
+    n = 300
+
+    def gen(batches):
+        import random
+
+        for b in batches:
+            out = []
+            for i in b["id"]:
+                i = int(i)
+                pdf_bytes = corpus_mod.random_pdf(random.Random(77_000 + i))
+                pages = payload_mod.parse_pdf(pdf_bytes)
+                url = f"https://pdf.example.com/doc/{i:06d}"
+                k = 0
+                for pnum, pg in enumerate(pages):
+                    for blk in pg["blocks"]:
+                        for line in blk:
+                            for sp in line:
+                                out.append(
+                                    {
+                                        "url": url,
+                                        "span_idx": k,
+                                        "page_num": pnum,
+                                        "size": float(sp["size"]),
+                                        "text": sp["text"],
+                                    }
+                                )
+                                k += 1
+            yield pd.DataFrame(out)
+
+    spans = spark.range(0, n, 1, 16).mapInPandas(
+        gen, schema="url string, span_idx int, page_num int, size double, text string"
+    )
+    line = F.concat(F.col("size").cast("int").cast("string"), F.lit(":"), F.col("text"))
+    return (
+        spans.select("url", "page_num", F.struct(F.col("span_idx"), line.alias("l")).alias("s"))
+        .groupBy("url")
+        .agg(
+            F.countDistinct("page_num").alias("n_pages"),
+            F.count("*").alias("n_spans"),
+            F.md5(
+                F.concat_ws("\n", F.expr("transform(array_sort(collect_list(s)), x -> x.l)"))
+            ).alias("content_md5"),
+        )
+    )
 
 
 @register(
