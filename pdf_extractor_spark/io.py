@@ -205,21 +205,49 @@ def write_json_files(result: DataFrame, out_dir: str) -> int:
     directly (foreachPartition) — no driver collect; ``out_dir`` must
     be a shared filesystem in production, which is also the
     reference's deployment assumption (mounted output volume).
-    Returns the number of files written."""
+
+    The reference's flat input dir guarantees unique basenames; web
+    urls don't (a.com/report.pdf vs b.com/report.pdf). Colliding stems
+    get a short url-hash suffix — computed via a count window over the
+    stem, so only genuinely colliding urls pay the disambiguation and
+    the common case keeps the reference's exact ``<stem>.json`` name.
+    Returns the number of rows actually written (accumulator, not
+    listdir — stale files from a previous run into the same dir must
+    not inflate the stat)."""
     import os as _os
 
+    from pyspark.sql import Window as W
+
     _os.makedirs(out_dir, exist_ok=True)
-    sel = result.filter(F.col("parse_ok")).select("url", "outline_json")
+    base = F.element_at(F.split(F.regexp_replace(F.col("url"), "/+$", ""), "/"), -1)
+    stem = F.regexp_replace(base, r"(.)\.[^.]*$", "$1")  # splitext semantics
+    sel = (
+        result.filter(F.col("parse_ok"))
+        .select("url", "outline_json", stem.alias("stem"))
+        .withColumn("n_stem", F.count("*").over(W.partitionBy("stem")))
+        .select(
+            F.when(
+                F.col("n_stem") > 1,
+                F.concat(F.col("stem"), F.lit("-"), F.substring(F.md5("url"), 1, 10)),
+            )
+            .otherwise(F.col("stem"))
+            .alias("fname"),
+            "outline_json",
+        )
+    )
+    n_written = sel.sparkSession.sparkContext.accumulator(0)
 
     def _write_partition(rows) -> None:
+        n = 0
         for r in rows:
-            stem = _os.path.splitext(_os.path.basename(r["url"].rstrip("/")))[0]
-            path = _os.path.join(out_dir, f"{stem}.json")
+            path = _os.path.join(out_dir, f"{r['fname']}.json")
             with open(path, "w", encoding="utf-8") as f:
                 f.write(r["outline_json"] or "")
+            n += 1
+        n_written.add(n)
 
     sel.foreachPartition(_write_partition)
-    return len([n for n in _os.listdir(out_dir) if n.endswith(".json")])
+    return int(n_written.value)
 
 
 def read_result(spark: SparkSession, out_dir: str, include_failed: bool = False) -> DataFrame:

@@ -94,10 +94,18 @@ def multicol_reading_order(
     Output: (doc_id, page_num, block_idx, col_idx, read_order) where
     read_order is 1-based within the page. One window keyed by
     (doc_id, page_num): shuffle-free on a doc-bucketed table.
+
+    The column boundary uses the blocks' own ``page_width`` column when
+    the table carries one (A4 is 595 pt, landscape wider — a constant
+    612 would misassign boundary blocks); the scalar parameter is only
+    the fallback for width-less tables.
     """
-    col_w = page_width / n_cols
+    if "page_width" in blocks.columns:
+        col_w = F.coalesce(F.col("page_width"), F.lit(page_width)) / n_cols
+    else:
+        col_w = F.lit(page_width / n_cols)
     col_idx = F.least(
-        F.greatest(F.floor(F.col("x0") / F.lit(col_w)).cast("int"), F.lit(0)),
+        F.greatest(F.floor(F.col("x0") / col_w).cast("int"), F.lit(0)),
         F.lit(n_cols - 1),
     )
     w = W.partitionBy("doc_id", "page_num").orderBy(

@@ -113,6 +113,19 @@ def lsh_buckets(
     for j in range(n_bits):
         bit = F.when(proj(j) > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bucket = bit if bucket is None else bucket + bit
+    if dims is not None:
+        # Guard the literal-sign fast path: zip_with null-pads a vector
+        # whose length != dims, the product aggregate goes NULL, and
+        # every bit silently falls to the otherwise(0) branch — fail
+        # loudly instead of corrupting buckets.
+        bucket = F.when(F.size(F.col(vec_col)) == dims, bucket).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_buckets: dims={dims} but size(vec)="),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
     return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
@@ -161,17 +174,21 @@ def _seed_centroids(
     offset on a real corpus). cell_id is the rank, so cells are always
     0..n_cells−1 regardless of the id space. The orderBy().limit()
     compiles to TakeOrderedAndProject (distributed top-k, no global
-    sort shuffle); the rank window then runs over only n_cells rows."""
-    from pyspark.sql import Window as W
-
-    smallest = (
+    sort shuffle); the n_cells rows are then enumerated driver-side
+    (codebook-bounded collect — the same shape ivf_kmeans_centroids
+    uses), which avoids an unpartitioned rank window (WindowExec
+    single-partition WARN) for the same result."""
+    spark = emb.sparkSession
+    rows = (
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
         .orderBy(F.asc(id_col))
         .limit(n_cells)
+        .collect()
     )
-    w = W.orderBy(F.asc(id_col))
-    return smallest.withColumn("cell_id", F.row_number().over(w) - 1).select(
-        "cell_id", "cv"
+    rows.sort(key=lambda r: r[0])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(rows)],
+        schema="cell_id int, cv array<double>",
     )
 
 
@@ -196,6 +213,13 @@ def ivf_kmeans_centroids(
     spark = emb.sparkSession
     cand = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cents = _seed_centroids(emb, n_cells, id_col, vec_col)
+    # Driver-side codebook mirror: a cell that receives no vectors in a
+    # Lloyd iteration vanishes from the means aggregation — keep its
+    # previous centroid so the codebook never shrinks below n_cells
+    # (silent shrink would change ivf_topk's nprobe/n_cells accounting).
+    codebook = {
+        int(r["cell_id"]): [float(x) for x in r["cv"]] for r in cents.collect()
+    }
     for _ in range(max(0, iters)):
         assigned = _assign_cells(cand, cents)
         means = (
@@ -210,8 +234,10 @@ def ivf_kmeans_centroids(
         rows = means.collect()  # n_cells rows — codebook-bounded
         if not rows:
             break
+        for r in rows:
+            codebook[int(r["cell_id"])] = [float(x) for x in r["cv"]]
         cents = spark.createDataFrame(
-            [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows],
+            sorted(codebook.items()),
             schema="cell_id int, cv array<double>",
         )
     return cents
@@ -341,6 +367,14 @@ def batch_cosine_topk(
         .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
         .collect()
     )
+    found = {int(r["qid"]) for r in qrows}
+    missing = [int(q) for q in query_vec_ids if int(q) not in found]
+    if missing:
+        # Silently dropping queries (or hitting an opaque empty-matmul
+        # shape error in the executors) is worse than failing fast.
+        raise ValueError(
+            f"batch_cosine_topk: query_vec_ids not found in corpus: {missing}"
+        )
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # |Q| × d
     qnorm = np.linalg.norm(qmat, axis=1)
