@@ -57,17 +57,30 @@ class Name(str):
 
 
 class Stream:
-    __slots__ = ("dict", "raw", "_data", "_doc")
+    __slots__ = ("dict", "raw", "_data", "_doc", "num", "gen")
 
     def __init__(self, d: dict, raw: bytes, doc: "PdfDocument"):
         self.dict = d
         self.raw = raw
         self._data: Optional[bytes] = None
         self._doc = doc
+        # owning indirect object id, set by _parse_indirect_at — needed
+        # for the per-object decryption key of encrypted documents
+        self.num: Optional[int] = None
+        self.gen: int = 0
 
     def data(self) -> bytes:
         if self._data is None:
-            self._data = _decode_stream(self.dict, self.raw, self._doc)
+            raw = self.raw
+            doc = self._doc
+            if (
+                doc is not None
+                and getattr(doc, "_decryptor", None) is not None
+                and self.num is not None
+                and doc.resolve(self.dict.get("Type")) != "XRef"  # never encrypted
+            ):
+                raw = doc._decryptor.decrypt(raw, self.num, self.gen, "stm")
+            self._data = _decode_stream(self.dict, raw, doc)
         return self._data
 
 
@@ -420,12 +433,57 @@ def _decode_stream(d: dict, raw: bytes, doc: Optional["PdfDocument"]) -> bytes:
                 body = body[2:]
             data = base64.a85decode(body)
             data = _apply_predictor(data, p)
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data, early=int(p.get("EarlyChange", 1) or 0))
+            data = _apply_predictor(data, p)
         elif f in _IMAGE_FILTERS:
             # image payload — never needed for text; return raw
             return data
         else:
             raise PdfError(f"unsupported filter {f}")
     return data
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF LZW: 9→12-bit variable-width codes, clear=256, EOD=257.
+    ``early`` (EarlyChange, default 1) bumps the code width one entry
+    before the table actually fills — the spec default every real
+    writer uses (pre-1995 PDFs: Acrobat 1.x wrote LZW before Flate)."""
+    result = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: Optional[bytes] = None
+    width = 9
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(result)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("bad LZW start code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise PdfError("bad LZW code")
+            result += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(result)
 
 
 # --------------------------------------------------------------------------
@@ -439,9 +497,58 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._decryptor = None
+        self._encrypt_error: Optional[str] = None
+        self._encrypt_num: Optional[int] = None
         self._load_xref()
         if not self.xref:
             self._scan_all_objects()
+        if "Encrypt" in self.trailer:
+            self._init_encryption()
+
+    def _init_encryption(self) -> None:
+        """Standard security handler with an EMPTY user password —
+        the transparent-open behavior of the reference's parser
+        (PyMuPDF opens permissions-only RC4/AES files without asking;
+        extract_outline.py:19). Genuinely passworded or exotic schemes
+        record an error that pages() raises → S4 failure row."""
+        from .pdfcrypt import PdfCryptError, StandardSecurityHandler
+
+        enc_ref = self.trailer.get("Encrypt")
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        if not isinstance(enc, dict):
+            self._encrypt_error = "malformed Encrypt dictionary"
+            return
+        try:
+            self._decryptor = StandardSecurityHandler(enc, id0)
+        except PdfCryptError as e:
+            self._encrypt_error = str(e)
+
+    def _decrypt_strings(self, obj: Any, num: int, gen: int) -> Any:
+        """Strings inside encrypted indirect objects are themselves
+        encrypted (streams are handled separately in Stream.data;
+        ObjStm contents are NOT re-encrypted per spec)."""
+        dec = self._decryptor
+
+        def walk(o: Any) -> Any:
+            if isinstance(o, bytes):
+                return dec.decrypt(o, num, gen, "str")
+            if isinstance(o, list):
+                return [walk(x) for x in o]
+            if isinstance(o, Stream):
+                o.dict = walk(o.dict)
+                return o
+            if isinstance(o, dict):
+                return {k: walk(v) for k, v in o.items()}
+            return o
+
+        return walk(obj)
 
     # -- xref ------------------------------------------------------------
     def _load_xref(self) -> None:
@@ -565,8 +672,14 @@ class PdfDocument:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.buf[offset : offset + 64])
         if not m:
             raise PdfError(f"no obj at {offset}")
+        num, gen = int(m.group(1)), int(m.group(2))
         lex = Lexer(self.buf, offset + m.end())
-        return lex.read_object(self)
+        obj = lex.read_object(self)
+        if isinstance(obj, Stream):
+            obj.num, obj.gen = num, gen
+        if self._decryptor is not None and num != self._encrypt_num:
+            obj = self._decrypt_strings(obj, num, gen)
+        return obj
 
     def get_object(self, num: int) -> Any:
         if num in self._cache:
@@ -619,11 +732,13 @@ class PdfDocument:
 
     # -- page tree -------------------------------------------------------
     def pages(self) -> list[dict]:
+        if self._encrypt_error:
+            # passworded / unsupported scheme — S4 failure row, same
+            # outcome as PyMuPDF's needs_pass for a non-empty password
+            raise PdfError(self._encrypt_error)
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise PdfError("no document catalog")
-        if "Encrypt" in self.trailer:
-            raise PdfError("encrypted PDF not supported")
         tree = self.resolve(root.get("Pages"))
         out: list[dict] = []
         if isinstance(tree, dict):
