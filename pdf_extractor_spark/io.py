@@ -102,6 +102,7 @@ def write_result(
         return _write_manifest(
             out_dir, n_buckets, lineage_rows, t_write0, t_write1,
             merge_previous=(mode == "append"),
+            error_classes=_error_classes(result.sparkSession, table_dir),
         )
     # repartition on the bucket key before the write: each reduce task
     # then writes into exactly one bucket dir (one file per bucket,
@@ -145,7 +146,34 @@ def _finish_lineage(
         .orderBy("bucket")
     )
     lineage_rows = [r.asDict() for r in lineage.collect()]
-    return _write_manifest(out_dir, n_buckets, lineage_rows, t_write0, t_write1)
+    return _write_manifest(
+        out_dir, n_buckets, lineage_rows, t_write0, t_write1,
+        error_classes=_error_classes(spark, table_dir),
+    )
+
+
+def _error_classes(spark: SparkSession, table_dir: str) -> dict[str, int]:
+    """Per-error-class failure counts from the committed snapshot.
+
+    The class is the message prefix extract.py records ('PdfError',
+    'unsupported_payload', 'no_text_blocks', ...). One column-pruned
+    scan of (parse_ok, error) with the parse_ok predicate pushed to
+    parquet — failures are a small fraction of a web corpus, so this
+    reads back almost nothing even at 100 TB, and it keeps the observe
+    fast path free of a hardcoded class list."""
+    failed = (
+        spark.read.parquet(table_dir)
+        .filter(~F.col("parse_ok"))
+        .select(
+            F.substring_index(
+                F.coalesce(F.col("error"), F.lit("unknown")), ":", 1
+            ).alias("error_class")
+        )
+    )
+    return {
+        r["error_class"]: r["n"]
+        for r in failed.groupBy("error_class").agg(F.count("*").alias("n")).collect()
+    }
 
 
 def _write_manifest(
@@ -155,6 +183,7 @@ def _write_manifest(
     t_write0: float,
     t_write1: float,
     merge_previous: bool = False,
+    error_classes: dict[str, int] | None = None,
 ) -> dict:
     lineage_dir = os.path.join(out_dir, "_lineage")
     os.makedirs(lineage_dir, exist_ok=True)
@@ -188,11 +217,15 @@ def _write_manifest(
             "parse_failures": sum(r["parse_failures"] for r in lineage_rows),
             "payload_bytes": sum(r["payload_bytes"] or 0 for r in lineage_rows),
         },
+        # why each failure failed, not just how many — the triage
+        # signal an operator needs before re-running a 10^12-doc job
+        "error_classes": dict(sorted((error_classes or {}).items())),
     }
     with open(manifest_path, "w", encoding="utf-8") as f:
         json.dump(snapshot, f, indent=2)
     return {
         **snapshot["totals"],
+        "error_classes": snapshot["error_classes"],
         "write_sec": round(t_write1 - t_write0, 2),
         "lineage_sec": round(time.time() - t_write1, 2),
     }

@@ -159,3 +159,24 @@ def test_pdf_truth_stats_matches_spark_query(spark):
         assert got["n_pages"] == want["n_pages"]
         assert got["n_spans"] == want["n_spans"]
         assert got["content_md5"] == want["content_md5"]
+
+
+def test_lineage_error_classes(spark, tmp_path):
+    """Per-error-class failure counts in the manifest: corrupt payloads
+    and empty spandocs land in distinct classes on both write paths."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.io import write_result
+
+    rows = corpus.build_pages_rows(90, seed=3)  # includes i%41==7 corrupt docs
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    from pdf_extractor_spark.operators.extract import extract_pages
+
+    out = extract_pages(df)
+    stats = write_result(out, str(tmp_path / "r1"))
+    assert stats["parse_failures"] > 0
+    assert sum(stats["error_classes"].values()) == stats["parse_failures"]
+    assert any(k.startswith("unsupported_payload") for k in stats["error_classes"])
+    manifest = json.loads((tmp_path / "r1" / "_lineage" / "manifest.json").read_text())
+    assert manifest["error_classes"] == stats["error_classes"]
