@@ -34,9 +34,16 @@ def _words(text_col) -> F.Column:
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc prose-quality signals: token count, mean word length,
-    vocabulary richness, stopword density, composite quality score.
-    The word array is materialized once per row — four inlined copies
-    of the split would each re-split the document."""
+    vocabulary richness, stopword density, repetition (Gopher-style
+    most-frequent-n-gram share, Rae et al. 2021 §A1.1), composite
+    quality score. The word array is materialized once per row — four
+    inlined copies of the split would each re-split the document.
+
+    The repetition signals are explode → groupBy counts (codegen,
+    map-side combinable: the shuffle carries one row per DISTINCT
+    (doc, gram), not per occurrence) rather than per-row HOF counting,
+    which is O(words x distinct) interpreted — the measured law in
+    BENCH/TRADEOFFS.md: explode wins at word fan-out."""
     with_words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
@@ -51,17 +58,54 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     # raw doubles are bit-identical across engines — round() is NOT
     # (Spark BigDecimal HALF_UP vs DuckDB's C rounding differ at float
     # representation boundaries)
-    return with_words.select(
+    base = with_words.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         (F.col("n_chars") / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
         (n_distinct / F.greatest(n_words, F.lit(1)).cast("double")).alias("distinct_ratio"),
         (n_stop / F.greatest(n_words, F.lit(1)).cast("double")).alias("stop_ratio"),
-    ).withColumn(
-        "quality",
-        F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.col("stop_ratio") * 2.0 * 0.3
-        + F.col("distinct_ratio") * 0.3,
+        w.alias("w"),
+    )
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            (F.max("c") / F.sum("c")).alias(out)
+        )
+
+    uni = top_frac(
+        base.select("doc_id", F.explode("w").alias("g")), "top_word_frac"
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(n_words - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(n_words - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    bi = top_frac(bigrams, "top_bigram_frac")
+    return (
+        base.drop("w")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "distinct_ratio",
+            "stop_ratio",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "quality",
+            F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.col("stop_ratio") * 2.0 * 0.3
+            + F.col("distinct_ratio") * 0.3,
+        )
     )
 
 

@@ -603,18 +603,43 @@ def emb_neardup_lsh(spark, sf_dir):
 @register(
     "text_quality",
     """
-SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_ratio,
-       least(n_words / 100.0, 1.0) * 0.4 + stop_ratio * 2.0 * 0.3
-             + distinct_ratio * 0.3 AS quality
-FROM (
+WITH base AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+feat AS (
   SELECT doc_id,
          len(l)::BIGINT AS n_words,
          length(text) / greatest(len(l), 1) AS mean_word_len,
          len(list_distinct(l)) / greatest(len(l), 1)::DOUBLE AS distinct_ratio,
          len(list_filter(l, x -> list_contains(['the','and','of','is','a','to','in','it','that','for'], x)))
                / greatest(len(l), 1)::DOUBLE AS stop_ratio
-  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents)
-)""",
+  FROM base
+),
+uni AS (
+  SELECT doc_id, max(c) / sum(c) AS top_word_frac FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(l) AS g FROM base
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, max(c) / sum(c) AS top_bigram_frac FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) AS g
+      FROM base WHERE len(l) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_words, f.mean_word_len, f.distinct_ratio, f.stop_ratio,
+       coalesce(u.top_word_frac, 0.0) AS top_word_frac,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       least(f.n_words / 100.0, 1.0) * 0.4 + f.stop_ratio * 2.0 * 0.3
+             + f.distinct_ratio * 0.3 AS quality
+FROM feat f
+LEFT JOIN uni u ON f.doc_id = u.doc_id
+LEFT JOIN bi b ON f.doc_id = b.doc_id""",
 )
 def text_quality(spark, sf_dir):
     """Prose-quality scoring (length/stopword/vocabulary signals)."""

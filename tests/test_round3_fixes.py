@@ -180,3 +180,29 @@ def test_lineage_error_classes(spark, tmp_path):
     assert any(k.startswith("unsupported_payload") for k in stats["error_classes"])
     manifest = json.loads((tmp_path / "r1" / "_lineage" / "manifest.json").read_text())
     assert manifest["error_classes"] == stats["error_classes"]
+
+
+def test_quality_repetition_signals(spark):
+    """Gopher-style repetition: top_word_frac / top_bigram_frac are the
+    most-frequent n-gram's share of all n-grams (Rae et al. 2021)."""
+    from pdf_extractor_spark.operators.textstats import quality_features
+
+    rows = [
+        # words: [a a a b] -> top word a:3/4; bigrams: "a a","a a","a b" -> 2/3
+        (1, "a a a b"),
+        # single word: no bigrams -> 0.0; top word 1/1
+        (2, "solo"),
+        # empty text -> no words at all -> both 0.0
+        (3, ""),
+        # all distinct: [x y z] -> top word 1/3; bigrams "x y","y z" -> 1/2
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["top_word_frac"], r["top_bigram_frac"])
+        for r in quality_features(df).collect()
+    }
+    assert got[1] == (3 / 4, 2 / 3)
+    assert got[2] == (1.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (1 / 3, 1 / 2)
