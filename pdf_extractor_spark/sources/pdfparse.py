@@ -436,6 +436,25 @@ def _decode_stream(d: dict, raw: bytes, doc: Optional["PdfDocument"]) -> bytes:
         elif f in ("LZWDecode", "LZW"):
             data = _lzw_decode(data, early=int(p.get("EarlyChange", 1) or 0))
             data = _apply_predictor(data, p)
+        elif f in ("RunLengthDecode", "RL"):
+            # ISO 32000-1 §7.4.5: length byte L<128 -> copy L+1 literal
+            # bytes; L>128 -> repeat next byte 257-L times; 128 -> EOD
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                ln = data[i]
+                if ln == 128:
+                    break
+                if ln < 128:
+                    out += data[i + 1 : i + 2 + ln]
+                    i += 2 + ln
+                else:
+                    if i + 1 >= len(data):
+                        raise PdfError("truncated RunLengthDecode stream")
+                    out += data[i + 1 : i + 2] * (257 - ln)
+                    i += 2
+            data = bytes(out)
+            data = _apply_predictor(data, p)
         elif f in _IMAGE_FILTERS:
             # image payload — never needed for text; return raw
             return data

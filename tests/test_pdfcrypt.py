@@ -329,3 +329,67 @@ def test_aes_fips197_vectors():
 def test_rc4_known_vector():
     assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
     assert rc4(b"Secret", b"Attack at dawn").hex().upper() == "45A01F645FC35B383552544B9BF5"
+
+
+# --------------------------------------------------------- RunLength
+def _rle_encode(data: bytes) -> bytes:
+    """Minimal ISO 32000-1 §7.4.5 encoder (runs >=3 as repeats)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + run
+            while j < len(data) and j - i < 128:
+                nxt = 1
+                while j + nxt < len(data) and nxt < 3 and data[j + nxt] == data[j]:
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"", b"A", b"aaaaaaaabbbbcdef", bytes(range(256)), b"x" * 1000, _content_plain()],
+)
+def test_runlength_roundtrip(payload):
+    d = {"Filter": "RunLengthDecode"}
+    assert pdfparse._decode_stream(d, _rle_encode(payload), None) == payload
+
+
+def test_runlength_pdf_end_to_end():
+    enc = _rle_encode(_content_plain())
+    buf = bytearray(b"%PDF-1.2\n")
+    offsets = {}
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+        ),
+        5: b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n%s\nendstream"
+        % (len(enc), enc),
+    }
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num)
+        buf.extend(objs[num])
+        buf.extend(b"\nendobj\n")
+    xref_off = len(buf)
+    buf.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for num in range(1, 6):
+        buf.extend(b"%010d 00000 n \n" % offsets[num])
+    buf.extend(b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off)
+    assert _spans(bytes(buf)) == EXPECTED
