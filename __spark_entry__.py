@@ -73,7 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _html_query,
     }
     q.update(QUERIES)
-    assert len(q) <= 50, f"{len(q)} queries exceed the 50-row driver artifact cap"
+    if len(q) > 50:  # not an assert: -O must never strip this gate
+        raise RuntimeError(f"{len(q)} queries exceed the 50-row driver artifact cap")
     return q
 
 

@@ -178,18 +178,25 @@ def _seed_centroids(
     (codebook-bounded collect — the same shape ivf_kmeans_centroids
     uses), which avoids an unpartitioned rank window (WindowExec
     single-partition WARN) for the same result."""
-    spark = emb.sparkSession
+    return _seed_df(emb.sparkSession, _seed_rows(emb, n_cells, id_col, vec_col))
+
+
+def _seed_rows(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
     rows = (
-        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+        emb.filter(F.col(vec_col).isNotNull())  # a NULL embedding must not seed
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
         .orderBy(F.asc(id_col))
         .limit(n_cells)
         .collect()
     )
     rows.sort(key=lambda r: r[0])
-    return spark.createDataFrame(
-        [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(rows)],
-        schema="cell_id int, cv array<double>",
-    )
+    return [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(rows)]
+
+
+def _seed_df(spark, seeds: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(seeds, schema="cell_id int, cv array<double>")
 
 
 def ivf_kmeans_centroids(
@@ -212,14 +219,14 @@ def ivf_kmeans_centroids(
     loop). Returns (cell_id, cv) like _seed_centroids."""
     spark = emb.sparkSession
     cand = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    cents = _seed_centroids(emb, n_cells, id_col, vec_col)
+    seeds = _seed_rows(emb, n_cells, id_col, vec_col)
+    cents = _seed_df(spark, seeds)
     # Driver-side codebook mirror: a cell that receives no vectors in a
     # Lloyd iteration vanishes from the means aggregation — keep its
     # previous centroid so the codebook never shrinks below n_cells
     # (silent shrink would change ivf_topk's nprobe/n_cells accounting).
-    codebook = {
-        int(r["cell_id"]): [float(x) for x in r["cv"]] for r in cents.collect()
-    }
+    # Built from the already-collected seed rows — no second job.
+    codebook = {cid: cv for cid, cv in seeds}
     for _ in range(max(0, iters)):
         assigned = _assign_cells(cand, cents)
         means = (

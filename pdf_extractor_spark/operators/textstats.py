@@ -44,68 +44,58 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (doc, gram), not per occurrence) rather than per-row HOF counting,
     which is O(words x distinct) interpreted — the measured law in
     BENCH/TRADEOFFS.md: explode wins at word fan-out."""
-    with_words = docs.select(
+    # Single tokenization pass: every signal — including the former
+    # array-expression features — is derivable from the per-(doc, gram)
+    # count relation, so the document is split exactly once, there is
+    # no doc-grain join, and both groupBys partial-aggregate map-side
+    # (the shuffle carries one row per DISTINCT gram, not occurrence).
+    w = _words(F.col(text_col))
+    n_w = F.size(w)
+    tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit("u").alias("k"), x.alias("g"))),
+        F.transform(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(n_w - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(n_w - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda x: F.struct(F.lit("b").alias("k"), x.alias("g")),
+        ),
+    )
+    grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
-        _words(F.col(text_col)).alias("w"),
+        # explode_outer: an empty document keeps its (null-gram) row
+        F.explode_outer(tagged).alias("t"),
+    ).select("doc_id", "n_chars", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+    counts = grams.groupBy("doc_id", "n_chars", "k", "g").agg(F.count("*").alias("c"))
+    u = F.col("k") == "u"
+    uc = F.when(u, F.col("c"))
+    feats = counts.groupBy("doc_id", "n_chars").agg(
+        F.coalesce(F.sum(uc), F.lit(0)).alias("n_words"),
+        (F.max(uc) / F.sum(uc)).alias("raw_top_word"),
+        (F.max(F.when(~u, F.col("c"))) / F.sum(F.when(~u, F.col("c")))).alias("raw_top_bigram"),
+        F.coalesce(F.sum(F.when(u, 1)), F.lit(0)).alias("n_distinct"),  # rows are distinct grams
+        F.coalesce(F.sum(F.when(u & F.col("g").isin(*STOPWORDS_EN), F.col("c"))), F.lit(0)).alias("n_stop"),
     )
-    w = F.col("w")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_words = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-    n_distinct = F.size(F.array_distinct(w))
+    n_words = F.col("n_words")
     # NOTE no round(): these are deterministic int divisions, so the
     # raw doubles are bit-identical across engines — round() is NOT
     # (Spark BigDecimal HALF_UP vs DuckDB's C rounding differ at float
     # representation boundaries)
-    base = with_words.select(
+    return feats.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         (F.col("n_chars") / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
-        (n_distinct / F.greatest(n_words, F.lit(1)).cast("double")).alias("distinct_ratio"),
-        (n_stop / F.greatest(n_words, F.lit(1)).cast("double")).alias("stop_ratio"),
-        w.alias("w"),
-    )
-
-    def top_frac(grams: DataFrame, out: str) -> DataFrame:
-        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-        return counts.groupBy("doc_id").agg(
-            (F.max("c") / F.sum("c")).alias(out)
-        )
-
-    uni = top_frac(
-        base.select("doc_id", F.explode("w").alias("g")), "top_word_frac"
-    )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(w, 1, F.greatest(n_words - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(n_words - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("g"),
-    )
-    bi = top_frac(bigrams, "top_bigram_frac")
-    return (
-        base.drop("w")
-        .join(uni, "doc_id", "left")
-        .join(bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "mean_word_len",
-            "distinct_ratio",
-            "stop_ratio",
-            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        )
-        .withColumn(
-            "quality",
-            F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
-            + F.col("stop_ratio") * 2.0 * 0.3
-            + F.col("distinct_ratio") * 0.3,
-        )
+        (F.col("n_distinct") / F.greatest(n_words, F.lit(1)).cast("double")).alias("distinct_ratio"),
+        (F.col("n_stop") / F.greatest(n_words, F.lit(1)).cast("double")).alias("stop_ratio"),
+        F.coalesce("raw_top_word", F.lit(0.0)).alias("top_word_frac"),
+        F.coalesce("raw_top_bigram", F.lit(0.0)).alias("top_bigram_frac"),
+    ).withColumn(
+        "quality",
+        F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.col("stop_ratio") * 2.0 * 0.3
+        + F.col("distinct_ratio") * 0.3,
     )
 
 

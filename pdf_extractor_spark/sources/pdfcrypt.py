@@ -259,7 +259,11 @@ class StandardSecurityHandler:
         for which, key in (("stm", "StmF"), ("str", "StrF")):
             name = str(enc.get(key, "Identity") or "Identity")
             if name == "Identity":
-                names[which] = ("Identity", 16)
+                # Identity = that class is NOT encrypted; it must not
+                # contribute a key length (a fake 16 here made 40-bit
+                # V4 files derive a 16-byte key and fail the otherwise
+                # valid empty-password check)
+                names[which] = ("Identity", None)
                 continue
             entry = cf.get(name)
             if not isinstance(entry, dict):
@@ -267,10 +271,17 @@ class StandardSecurityHandler:
             cfm = str(entry.get("CFM", "None"))
             if cfm not in ("V2", "AESV2"):
                 raise PdfCryptError(f"unsupported CFM {cfm}")
-            length = int(entry.get("Length", 16) or 16)
+            length = entry.get("Length")
+            if length is None:
+                # CF Length default: the dict-level /Length, else the
+                # spec default 40 bit (ISO 32000-1 table 25)
+                length = enc.get("Length", 40) or 40
+            length = int(length)
             kb = length // 8 if length >= 40 else length  # bytes vs bits
             names[which] = (cfm, max(5, min(16, kb)))
-        kb = max(names["stm"][1], names["str"][1])
+        # one file key serves both classes (mupdf derives it from the
+        # stream filter; fall back to the string filter, then 40-bit)
+        kb = names["stm"][1] or names["str"][1] or 5
         return names["stm"][0], names["str"][0], kb
 
     # -- legacy (R2-R4) ---------------------------------------------

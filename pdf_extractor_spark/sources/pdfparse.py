@@ -446,6 +446,8 @@ def _decode_stream(d: dict, raw: bytes, doc: Optional["PdfDocument"]) -> bytes:
                 if ln == 128:
                     break
                 if ln < 128:
+                    if i + 1 + ln >= len(data):
+                        raise PdfError("truncated RunLengthDecode stream")
                     out += data[i + 1 : i + 2 + ln]
                     i += 2 + ln
                 else:

@@ -393,3 +393,36 @@ def test_runlength_pdf_end_to_end():
         buf.extend(b"%010d 00000 n \n" % offsets[num])
     buf.extend(b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off)
     assert _spans(bytes(buf)) == EXPECTED
+
+
+def test_v4_40bit_strf_identity_empty_password():
+    """V4 with a 40-bit /StdCF stream filter and /StrF /Identity:
+    the Identity placeholder must not inflate the derived key length
+    (review finding: kb=max(5,16) broke legit 40-bit V4 files)."""
+    n, r, p = 5, 4, -44
+    o = _make_o_entry(r, n)
+    fkey = _legacy_key(o, p, r, n)
+    u = _make_u_entry(fkey, r)
+    enc_stream = rc4(_obj_key(fkey, 5, 0, aes=False), zlib.compress(_content_plain()))
+    enc = (
+        b"<< /Filter /Standard /V 4 /R 4 /P %d /O <%s> /U <%s> "
+        b"/CF << /StdCF << /CFM /V2 /Length 5 >> >> /StmF /StdCF /StrF /Identity >>"
+        % (p, o.hex().encode(), u.hex().encode())
+    )
+    assert _spans(_assemble_pdf(enc, enc_stream)) == EXPECTED
+
+
+def test_v4_cf_length_defaults_to_dict_length():
+    """CF entry without /Length falls back to the encryption dict's
+    top-level /Length (here 40 bit), not a hardcoded 16 bytes."""
+    n, r, p = 5, 4, -44
+    o = _make_o_entry(r, n)
+    fkey = _legacy_key(o, p, r, n)
+    u = _make_u_entry(fkey, r)
+    enc_stream = rc4(_obj_key(fkey, 5, 0, aes=False), zlib.compress(_content_plain()))
+    enc = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 40 /P %d /O <%s> /U <%s> "
+        b"/CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF /StrF /StdCF >>"
+        % (p, o.hex().encode(), u.hex().encode())
+    )
+    assert _spans(_assemble_pdf(enc, enc_stream)) == EXPECTED

@@ -28,11 +28,17 @@ def _check(payload: bytes) -> None:
         assert not isinstance(exc, (MemoryError, RecursionError, SystemExit, KeyboardInterrupt))
         return
     # parsed despite corruption: output must still be well-formed
+    # (extract_spans pages are {'width','height','blocks'} with blocks
+    # = list of lines, each line a list of span dicts)
     assert isinstance(pages, list)
     for page in pages:
-        for line in page.get("lines", []):
-            for span in line.get("spans", []):
-                assert isinstance(span.get("text", ""), str)
+        assert isinstance(page["blocks"], list)
+        for block in page["blocks"]:
+            for line in block:
+                for span in line:
+                    assert isinstance(span["text"], str)
+                    assert isinstance(span["size"], (int, float))
+                    assert len(span["bbox"]) == 4
 
 
 @settings(max_examples=60, deadline=10000, suppress_health_check=[HealthCheck.too_slow])
