@@ -136,6 +136,17 @@ AUDITS = [
         "page_num) — shuffle-free on a doc-bucketed table.",
     ),
     (
+        "text_quality",
+        {"no_python": lambda p, sp: "Python" not in p,
+         "single_tokenize": lambda p, sp: _tree(p).count("Generate") == 1,
+         "no_join": lambda p, sp: "Join" not in _tree(p),
+         "partial_agg": lambda p, sp: _tree(p).count("HashAggregate") >= 4},
+        "Quality scoring incl. Gopher repetition: ONE tokenize + "
+        "tagged-gram explode feeds every signal (length, vocabulary, "
+        "stopword, top-n-gram shares) through two map-side-combinable "
+        "aggregations — no doc-grain join, no re-tokenization.",
+    ),
+    (
         "outline_extract",
         {"one_python_stage": lambda p, sp: _tree(p).count("MapInPandas") == 2,
          "no_shuffle_after_parse": lambda p, sp: "Exchange" not in _tree(p).split("MapInPandas")[0]},
