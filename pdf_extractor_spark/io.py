@@ -36,6 +36,7 @@ def write_result(
     n_buckets: int = 32,
     mode: str = "overwrite",
     input_bucketed: bool = False,
+    lineage: str = "auto",
 ) -> dict:
     """Write the result table bucketed by url-hash + lineage manifests.
 
@@ -53,7 +54,19 @@ def write_result(
     scan → extract → write, shuffle-free. Bucket once at ingest,
     never reshuffle: at 100 TB the repartition below would move the
     entire result table across the cluster per run.
+
+    ``lineage`` selects how per-bucket counts are produced:
+    ``"observe"`` rides the write itself (CollectMetrics, zero extra
+    IO — mandatory for repeated appends like the streaming commit,
+    where a post-write rescan would re-aggregate the ENTIRE committed
+    table on every micro-batch); ``"rescan"`` re-reads the committed
+    snapshot column-pruned (measured cheaper for one-shot batch
+    writes, and append mode re-derives cumulative totals for free);
+    ``"auto"`` picks observe when ``input_bucketed`` else rescan.
     """
+    if lineage not in ("auto", "observe", "rescan"):
+        raise ValueError(f"unknown lineage mode {lineage!r}")
+    use_observe = lineage == "observe" or (lineage == "auto" and input_bucketed)
     t_write0 = time.time()
     table_dir = os.path.join(out_dir, "result")
     # `ok` is a PARTITION column (parse_ok stays in the data files for
@@ -66,13 +79,13 @@ def write_result(
     bucketed = with_bucket(result, n_buckets).withColumn(
         "ok", F.col("parse_ok").cast("int")
     )
-    if input_bucketed:
+    if use_observe:
         # Lineage via df.observe: the metrics ride the write itself —
         # ZERO extra IO. At 100 TB the alternative (re-scanning the
         # committed table, even column-pruned) reads back a slice of
         # everything just written; CollectMetrics costs one pass of
         # per-row conditional sums that scales with executors instead.
-        # (The non-bucketed path keeps the rescan: it already pays an
+        # (The one-shot batch non-bucketed path keeps the rescan: it already pays an
         # exchange, and the rescan re-aggregates appends for free.)
         from pyspark.sql import Observation
 
@@ -90,6 +103,10 @@ def write_result(
             )
         obs = Observation()
         observed = bucketed.observe(obs, metrics[0], *metrics[1:])
+        if not input_bucketed:
+            # observe-lineage on unbucketed input (streaming commits):
+            # the bucket repartition still applies, above the metrics
+            observed = observed.repartition(n_buckets, "bucket")
         observed.write.mode(mode).partitionBy("bucket", "ok").parquet(table_dir)
         t_write1 = time.time()
         m = obs.get

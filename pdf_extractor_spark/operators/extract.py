@@ -26,6 +26,11 @@ from ..schemas import RESULT_SCHEMA
 from ..sources import payload as payload_codec
 from . import analyzer, html_extract, span_merge
 
+# NOTE the first column is the batch ROW ORDINAL (as a string), not the
+# url: a crawler can re-ship the same url twice in one Arrow batch (the
+# streaming path dedups against the committed table, not within-batch),
+# and keying the analyzer by url would merge the two documents' blocks
+# into one group and emit a phantom failure row for the first copy.
 _BLOCK_COLUMNS = [
     "url",
     "block_idx",
@@ -70,7 +75,7 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                     errors[i] = "no_text_blocks"  # reference emits nothing (S4)
                     continue
                 for bidx, (pno, text, size, font, x0, y0, x1, y1, _italic) in enumerate(merged):
-                    block_rows.append((urls[i], bidx, pno, text, size, font, x0, y0, x1, y1, width))
+                    block_rows.append((str(i), bidx, pno, text, size, font, x0, y0, x1, y1, width))
                 span_doc_rows.append(i)
             elif kind == "html":
                 res = html_extract.extract_html(bytes(raw))
@@ -92,15 +97,35 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # -- analysis stage: vectorized across every spandoc in the batch --
     if block_rows:
         blocks = pd.DataFrame(block_rows, columns=_BLOCK_COLUMNS)
-        row_of_url = {urls[i]: i for i in span_doc_rows}
-        for url, title, outline in analyzer.analyze_batch(blocks):
-            i = row_of_url[url]
+
+        def _emit(key: str, title, outline) -> None:
+            i = int(key)
             titles[i] = title
             outlines[i] = outline
             jsons[i] = json.dumps(
                 {"title": title, "outline": outline}, indent=2, ensure_ascii=False
             )
             oks[i] = True
+
+        try:
+            for key, title, outline in analyzer.analyze_batch(blocks):
+                _emit(key, title, outline)
+        except Exception:
+            # S4 isolation: one pathological document must not fail the
+            # whole Arrow batch — rerun per document so only the raising
+            # doc(s) become failure rows (rare path; the vectorized call
+            # above stays the hot path)
+            for key, sub in blocks.groupby("url", sort=False):
+                i = int(key)
+                if oks[i]:
+                    continue  # already emitted before the raise
+                try:
+                    for k2, title, outline in analyzer.analyze_batch(
+                        sub.reset_index(drop=True)
+                    ):
+                        _emit(k2, title, outline)
+                except Exception as exc:
+                    errors[i] = f"{type(exc).__name__}: {exc}"[:500]
 
     return pd.DataFrame(
         {

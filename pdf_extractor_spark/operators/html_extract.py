@@ -43,11 +43,35 @@ _STOPWORDS = frozenset(
 
 _WS_RX = re.compile(r"\s+")
 
+# HTML5 void elements: they emit no end tag, so they must never enter
+# the open-element stack (an <hr> that "never closes" is not unclosed)
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr keygen".split()
+)
+
+# tags whose end tag is optional and is implied by a sibling start tag
+# (the crawled-HTML cases that leaked depth forever: '<option>USA'
+# '<option>Canada' without </option>, consecutive <li>, nested <a> —
+# the spec implies closing the previous one)
+_IMPLIED_SIBLING_CLOSE = frozenset("option li p tr td th a".split())
+
 
 class _Extractor(HTMLParser):
+    """Streaming extractor with a simplified open-element stack.
+
+    Dirty crawled HTML leaves tags unclosed; tracking drop/link state
+    as bare counters leaked depth forever and silently discarded the
+    rest of the document (review finding). Instead: every non-void
+    start tag pushes onto a stack; an end tag pops up to and including
+    its nearest match (implicitly closing unclosed children, exactly
+    what browser tree builders do); drop/link depth are derived counts
+    maintained against that stack, so they can never leak past the
+    enclosing element's close."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []
+        self._stack: list[str] = []
         self._drop_depth = 0
         self._link_depth = 0
         self._heading: Optional[str] = None
@@ -56,6 +80,35 @@ class _Extractor(HTMLParser):
         self._total_chars = 0
         self.title_parts: list[str] = []
         self._in_title = False
+
+    # -- open-element stack ----------------------------------------------
+    def _push(self, tag: str) -> None:
+        if tag in _IMPLIED_SIBLING_CLOSE and self._stack and self._stack[-1] == tag:
+            self._pop_one()
+        self._stack.append(tag)
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+
+    def _pop_one(self) -> None:
+        tag = self._stack.pop()
+        if tag in _DROP_TAGS:
+            self._drop_depth -= 1
+        if tag == "a":
+            self._link_depth -= 1
+
+    def _pop_until(self, tag: str) -> bool:
+        """Pop up to and including the nearest open ``tag``; a stray end
+        tag with no matching open element pops nothing."""
+        if tag not in self._stack:
+            return False
+        while self._stack:
+            top = self._stack[-1]
+            self._pop_one()
+            if top == tag:
+                break
+        return True
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -75,31 +128,33 @@ class _Extractor(HTMLParser):
 
     # -- parser callbacks --------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _DROP_TAGS:
-            self._drop_depth += 1
+        if tag in _VOID_TAGS:
+            if tag in ("br", "hr") and not self._drop_depth:
+                self._flush()
             return
-        if self._drop_depth:
+        was_dropping = bool(self._drop_depth)
+        self._push(tag)
+        if was_dropping:
+            return
+        if tag in _DROP_TAGS:
             return
         if tag == "title":
             self._in_title = True
             return
-        if tag == "a":
-            self._link_depth += 1
         if tag in _BLOCK_TAGS:
             self._flush()
             self._heading = tag if tag in _HEADING_TAGS else None
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _DROP_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
+        if tag in _VOID_TAGS:
             return
-        if self._drop_depth:
-            return
+        if not self._pop_until(tag):
+            return  # stray end tag: no matching open element
+        if tag in _DROP_TAGS or self._drop_depth:
+            return  # closed a drop element, or still inside one
         if tag == "title":
             self._in_title = False
             return
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
         if tag in _BLOCK_TAGS:
             self._flush()
             if tag in _HEADING_TAGS:

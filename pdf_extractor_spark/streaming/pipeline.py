@@ -60,7 +60,13 @@ def stream_extract(
         # streaming commit exactly-once per url
         pending = pio.filter_pending(batch_df, out_dir)
         result = extract_pages(pending, keep_failed=True)
-        pio.write_result(result, out_dir, n_buckets=n_buckets, mode="append")
+        # lineage="observe": counts ride the micro-batch write and the
+        # manifest merges cumulatively — a post-write rescan here would
+        # re-aggregate the ENTIRE committed table every micro-batch,
+        # i.e. O(total corpus) per trigger on a long-running stream
+        pio.write_result(
+            result, out_dir, n_buckets=n_buckets, mode="append", lineage="observe"
+        )
 
     writer = (
         pages_stream.writeStream.foreachBatch(commit)
@@ -124,9 +130,19 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     built-in aggregations can't express (per-key custom accumulators,
     decaying counters, online sketches); the final emitted row per
     user equals the batch groupBy aggregate — the test oracle.
+
+    On a BATCH frame (applyInPandasWithState is streaming-only) this
+    falls back to the equivalent groupBy aggregate, keeping the
+    module's works-on-both-frames contract.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
 
     def update_fn(key, pdfs, state):
         (user_id,) = key
@@ -164,7 +180,13 @@ def streaming_dedup(
     for bounded backfills.
 
     Input must carry an event-time column ``warc_ts``.
+
+    On a BATCH frame (dropDuplicatesWithinWatermark is streaming-only)
+    this falls back to plain dropDuplicates — a bounded backfill has no
+    state-eviction concern.
     """
+    if not pages.isStreaming:
+        return pages.dropDuplicates([key])
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         [key]
     )
