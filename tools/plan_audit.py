@@ -10,6 +10,7 @@ Run: python tools/plan_audit.py
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stdout
 from pathlib import Path
@@ -212,7 +213,10 @@ def main() -> int:
         "hot paths), TakeOrderedAndProject for top-k, bounded task size under\n"
         "skew, and a shuffle-free extraction pipeline.\n\n" + "\n".join(sections)
     )
-    out = _REPO / "BENCH" / "PLANS.md"
+    # PLAN_AUDIT_OUT lets the pytest gate (which runs at test-sized
+    # parallelism) write elsewhere, so the committed PLANS.md keeps the
+    # production 32-partition plans
+    out = Path(os.environ.get("PLAN_AUDIT_OUT") or _REPO / "BENCH" / "PLANS.md")
     out.parent.mkdir(exist_ok=True)
     out.write_text(md, encoding="utf-8")
     print(f"wrote {out}")
