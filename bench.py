@@ -149,7 +149,7 @@ def contract_mode() -> None:
     print(json.dumps(out))
 
 
-def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> float:
+def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> tuple[float, float, float]:
     """Measure this host's OWN n_low→n_high scaling ceiling with a
     plain multiprocessing.Pool map — the reference's exact parallelism
     model (extract_outline.py:156-158), no Spark involved — running
@@ -171,6 +171,12 @@ def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> float:
     occupancy + hypervisor co-tenancy + shared memory bandwidth), so
     raw Spark efficiency must be read against this number, not
     against a theoretical 4×.
+
+    Returns ``(ratio, lo, hi)``: the session's hi/(4*lo) ratio plus
+    the raw per-phase docs/sec throughputs, so the caller can
+    accumulate quiet-state phase maxima across sessions (the same
+    cross-epoch estimator the Spark minima rows use) instead of
+    max-accumulating the storm-inflatable ratio.
     """
     import multiprocessing as mp
 
@@ -193,7 +199,7 @@ def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> float:
 
     lo = max(_throughput(n_low) for _ in range(2))
     hi = max(_throughput(n_high) for _ in range(2))
-    return hi / ((n_high / n_low) * lo)
+    return hi / ((n_high / n_low) * lo), lo, hi
 
 
 _CEILING_TASKS = 240
@@ -321,17 +327,42 @@ def scaling_mode() -> None:
         state["ceiling_v"] = 2
 
     e2e_only = os.environ.get("SPARK_GRAFT_SCALING_E2E_ONLY") == "1"
-    if e2e_only:
-        ceiling = float(state.get("ceiling", 0.0))
-    else:
+    session_probe = None
+    if not e2e_only:
         print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
-        measured = _hardware_ceiling()
+        session_probe, probe_lo, probe_hi = _hardware_ceiling()
         # keep every per-session reading, not just the max, so the
         # estimator's distribution is auditable (co-tenant windows vary)
-        state.setdefault("ceiling_probe_log", []).append(round(measured, 3))
-        ceiling = max(measured, float(state.get("ceiling", 0.0)))
-    state["ceiling"] = ceiling
-    print(f"host ceiling (best observed): {ceiling:.3f}", file=sys.stderr)
+        state.setdefault("ceiling_probe_log", []).append(
+            {
+                "ratio": round(session_probe, 3),
+                "lo": round(probe_lo, 1),
+                "hi": round(probe_hi, 1),
+            }
+        )
+        state["ceiling"] = max(session_probe, float(state.get("ceiling", 0.0)))
+        # per-phase quiet-state throughputs, max-accumulated across
+        # sessions — the SAME cross-epoch estimator the Spark rows use
+        # (min elapsed per level == max throughput per level)
+        state["ceiling_lo"] = max(probe_lo, float(state.get("ceiling_lo", 0.0)))
+        state["ceiling_hi"] = max(probe_hi, float(state.get("ceiling_hi", 0.0)))
+
+    # Cross-epoch normalization ceiling. The old estimator —
+    # max-accumulated per-session RATIO — is upward-biased under
+    # co-tenant storms: a storm that slows the probe's 8-proc phase
+    # (longer wall time, more storm exposure) inflates hi/(4*lo), so
+    # taking the max across sessions selects exactly the storm-biased
+    # draws (observed: the 0.83-0.92 readings all came from sessions
+    # whose own Spark t8 ran 1.3-1.6x above its quiet minimum, while
+    # quiet sessions read 0.69-0.77). The Spark numerator rows pair
+    # cross-epoch QUIET minima, so the denominator must be the
+    # quiet-state probe ratio: max throughput per phase across
+    # sessions, then the ratio — the identical construction.
+    if state.get("ceiling_lo") and state.get("ceiling_hi"):
+        ceiling = state["ceiling_hi"] / (4 * state["ceiling_lo"])
+    else:
+        ceiling = float(state.get("ceiling", 0.0))
+    print(f"host ceiling (cross-epoch quiet-state): {ceiling:.3f}", file=sys.stderr)
 
     corpus_dir = "/dev/shm/bench_scaling_corpus"
     zip_path = _build_zip()
@@ -387,7 +418,11 @@ def scaling_mode() -> None:
                 "t8": inv[8],
                 "t32": inv[32],
                 "eff": round(inv[8] / (4 * inv[32]), 3),
-                "ceiling": round(ceiling, 3) if not e2e_only else None,
+                # the session's OWN probe reading (None when the probe
+                # was skipped): the same-invocation row must pair a
+                # session's Spark eff with that session's probe, not
+                # with the accumulated max at that moment
+                "ceiling": round(session_probe, 3) if session_probe else None,
             }
         )
 
@@ -460,10 +495,23 @@ def _write_scaling_md(out: dict) -> None:
         else ""
     )
     plog = out.get("ceiling_probe_log") or []
+    ratios = [p["ratio"] if isinstance(p, dict) else p for p in plog]
     plog_note = (
-        f"Accumulated max over {len(plog)} v2 probe sessions "
-        f"(readings {min(plog)}–{max(plog)}; every reading is kept in "
-        f"scaling_state.json `ceiling_probe_log`)."
+        f"Denominator = cross-epoch quiet-state estimator: max 8-proc "
+        f"throughput and max 32-proc throughput each accumulated across "
+        f"probe sessions, then ratioed — the same construction as the "
+        f"Spark minima rows. Per-session ratio readings over "
+        f"{len(ratios)} v2 probe sessions span {min(ratios)}–{max(ratios)} "
+        f"(all kept in scaling_state.json `ceiling_probe_log`; "
+        f"phase-decomposed entries record lo/hi throughputs). The "
+        f"max-of-ratio estimator is NOT used for normalization: a "
+        f"co-tenant storm that slows the probe's 8-proc phase inflates "
+        f"the ratio, so its max selects storm-biased draws — the "
+        f"highest v2 reading on record (0.844) came from a session "
+        f"whose own Spark t8 ran 1.39× above its quiet minimum, while "
+        f"the second-highest (0.768) came from the quietest session "
+        f"observed (t8 at exactly its minimum); v1's best-ever 0.917 "
+        f"was likewise a storm-window draw."
         if plog
         else "No v2 probe session recorded yet in scaling_state.json."
     )
@@ -505,8 +553,8 @@ This virtualized host cannot deliver 4× from 8→32 vCPUs for ANY
 program (core-count-dependent frequency scaling + hypervisor
 co-tenancy + shared memory bandwidth), so raw efficiencies must be
 read against this ceiling, not against a theoretical 1.0. (Ceiling
-probe v2: the earlier parse-only probe read up to 0.92 in quiet
-windows because it omitted the analyzer — the most bandwidth-hungry
+probe v2: the earlier parse-only probe read up to 0.92
+because it omitted the analyzer — the most bandwidth-hungry
 stage; same-work probes of the full pipeline measure 0.71-0.81.
 Historical invocations in scaling_state.json recorded v1 session
 ceilings; entries after the v2 cutover use the representative probe.)
