@@ -92,6 +92,30 @@ def test_md_writer_empty_probe_log(tmp_path):
     assert "No v2 probe session recorded" in md
 
 
+def test_md_writer_quiet_pair_consistency_check(tmp_path):
+    """The same-invocation section must report the quiet-pair
+    distribution as the estimate and demote best-pair-by-eff to an
+    upper bound (round-3 finding: max-selection picks storm-asymmetric
+    draws whose t8 ran far above floor)."""
+    bench = _load_bench(tmp_path)
+    bench._write_scaling_md(
+        _out(
+            n_invocations=98,
+            quiet_pair_effs=[0.562, 0.594, 0.607, 0.645, 0.689],
+            best_pair_t8_vs_floor=1.59,
+        )
+    )
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Same-invocation consistency check" in md
+    assert "UPPER BOUND" in md
+    assert "0.562–0.689" in md
+    assert "1.59×" in md
+    # without pair data the section degrades silently, not crashes
+    bench._write_scaling_md(_out())
+    md2 = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Same-invocation consistency check" not in md2
+
+
 def test_phase_estimator_rejects_storm_ratio():
     """The quiet-state construction: a storm session with an inflated
     RATIO but deflated per-phase throughputs must not raise the
