@@ -180,6 +180,15 @@ def _hardware_ceiling(n_low: int = 8, n_high: int = 32) -> tuple[float, float, f
     """
     import multiprocessing as mp
 
+    if mp.get_start_method(allow_none=False) != "fork":
+        # workers read the module-global payload list via fork
+        # copy-on-write; under spawn (macOS/Windows default) they would
+        # see None and crash subscripting it — fail with a clear message
+        raise RuntimeError(
+            "ceiling probe requires the fork start method (payloads are "
+            "shared via copy-on-write); run on Linux or set "
+            "multiprocessing.set_start_method('fork')"
+        )
     global _CEILING_PAYLOADS
     if _CEILING_PAYLOADS is None:
         # synthesize in parallel with a throwaway pool, THEN fork the

@@ -30,6 +30,24 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
+def _committed_partition_layout(table_dir: str) -> list[str] | None:
+    """Partition columns of an already-committed table, read from its
+    directory structure (None if nothing is committed yet). Appends
+    must adopt the on-disk layout: mixing bucket-only (pre-upgrade)
+    and bucket/ok directories in one table gives mixed partition
+    depths, which Spark's partition discovery rejects outright
+    ('Conflicting directory structures')."""
+    if not os.path.isdir(table_dir):
+        return None
+    for entry in os.listdir(table_dir):
+        if entry.startswith("bucket="):
+            sub = os.path.join(table_dir, entry)
+            if any(e.startswith("ok=") for e in os.listdir(sub)):
+                return ["bucket", "ok"]
+            return ["bucket"]
+    return None
+
+
 def write_result(
     result: DataFrame,
     out_dir: str,
@@ -79,6 +97,14 @@ def write_result(
     bucketed = with_bucket(result, n_buckets).withColumn(
         "ok", F.col("parse_ok").cast("int")
     )
+    part_cols = ["bucket", "ok"]
+    if mode == "append" and _committed_partition_layout(table_dir) == ["bucket"]:
+        # migration guard: a streaming job resuming into a table written
+        # before the ok-partition upgrade keeps the legacy bucket-only
+        # layout (and drops the helper column so file schemas stay
+        # uniform); failure triage falls back to the parse_ok predicate
+        part_cols = ["bucket"]
+        bucketed = bucketed.drop("ok")
     if use_observe:
         # Lineage via df.observe: the metrics ride the write itself —
         # ZERO extra IO. At 100 TB the alternative (re-scanning the
@@ -107,7 +133,7 @@ def write_result(
             # observe-lineage on unbucketed input (streaming commits):
             # the bucket repartition still applies, above the metrics
             observed = observed.repartition(n_buckets, "bucket")
-        observed.write.mode(mode).partitionBy("bucket", "ok").parquet(table_dir)
+        observed.write.mode(mode).partitionBy(*part_cols).parquet(table_dir)
         t_write1 = time.time()
         m = obs.get
         lineage_rows = []
@@ -142,7 +168,7 @@ def write_result(
     (
         bucketed.repartition(n_buckets, "bucket")
         .write.mode(mode)
-        .partitionBy("bucket", "ok")
+        .partitionBy(*part_cols)
         .parquet(table_dir)
     )
     return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)

@@ -97,6 +97,10 @@ class _Extractor(HTMLParser):
             self._drop_depth -= 1
         if tag == "a":
             self._link_depth -= 1
+        if tag == "title":
+            # <title> implicitly closed (e.g. "<title>Foo</head>") must
+            # stop capturing, or the whole body lands in title_parts
+            self._in_title = False
 
     def _pop_until(self, tag: str) -> bool:
         """Pop up to and including the nearest open ``tag``; a stray end

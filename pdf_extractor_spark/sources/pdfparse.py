@@ -73,13 +73,17 @@ class Stream:
         if self._data is None:
             raw = self.raw
             doc = self._doc
-            if (
-                doc is not None
-                and getattr(doc, "_decryptor", None) is not None
-                and self.num is not None
-                and doc.resolve(self.dict.get("Type")) != "XRef"  # never encrypted
-            ):
-                raw = doc._decryptor.decrypt(raw, self.num, self.gen, "stm")
+            dec = getattr(doc, "_decryptor", None) if doc is not None else None
+            if dec is not None and self.num is not None:
+                stype = doc.resolve(self.dict.get("Type"))
+                # XRef streams are never encrypted (spec 7.5.8.2); when
+                # EncryptMetadata=false the /Metadata stream is stored in
+                # the clear too and must not be run through the decryptor
+                skip = stype == "XRef" or (
+                    stype == "Metadata" and not getattr(dec, "encrypt_metadata", True)
+                )
+                if not skip:
+                    raw = dec.decrypt(raw, self.num, self.gen, "stm")
             self._data = _decode_stream(self.dict, raw, doc)
         return self._data
 
@@ -1186,13 +1190,15 @@ class ContentInterpreter:
 
     def _font_for(self, resources: dict, name: str) -> Optional[Font]:
         # fast path: (resources identity, name) → Font, skipping the
-        # Font-dict resolve on every Tf op (resources dicts are cached
-        # for the document's lifetime, so id() is stable); tuple keys
-        # share the font cache dict with the per-object int keys
+        # Font-dict resolve on every Tf op. id() keys are only stable
+        # while the keyed dict is alive, so pin a strong reference to
+        # each resources dict in the cache — otherwise a GC'd dict's id
+        # could be reused and resolve a later dict to the wrong Font
         nkey = (id(resources), name)
         hit = self._font_cache.get(nkey, False)
         if hit is not False:
             return hit
+        self._font_cache[("pin", id(resources))] = resources
         fonts = self.doc.resolve(resources.get("Font"))
         if not isinstance(fonts, dict):
             self._font_cache[nkey] = None
