@@ -50,9 +50,9 @@ HEADLINE = [
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
     "ann_ivf_topk",         # IVF-Flat ANN (nprobe cell search)
     "emb_neardup_lsh",      # LSH-bucketed embedding near-dup (scale path)
-    "lang_id",              # n-gram language heuristic
+    "lang_id",              # n-gram language heuristic + token counts (merged r4)
     "text_quality",         # quality scoring over documents
-    "token_count",          # whitespace + BPE-ish token counts
+    "outline_stats",        # flagship digests vs refimpl truth (hash-matched row)
     "c_scoring_chain",      # the reference's heading-score when() chain
     "g11_level_clusters",   # font-cluster level map (dense_rank)
     "pdf_payload_extract",  # real %PDF bytes through the pure-Python parser

@@ -99,10 +99,20 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: dict | None = None,
+) -> DataFrame:
     """Stopword-hit language ID: explode words, join a broadcast
     lexicon, argmax hits per doc (tie → lexicographic lang), docs with
-    zero hits → 'und'."""
+    zero hits → 'und'.
+
+    ``extra_cols`` ({name: Column over the docs row}) appends per-row
+    expressions to the final per-doc select, riding the scan that the
+    left join already pays — callers that want language + token counts
+    in one result avoid a third scan and an extra join."""
     spark = docs.sparkSession
     lex = F.broadcast(
         spark.createDataFrame(
@@ -124,13 +134,17 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.struct((-F.col("hits")).alias("nh"), F.col("lang")),
         ).alias("b")
     ).select("doc_id", F.col("b.lang").alias("lang"), F.col("b.hits").alias("hits"))
+    base_cols = [F.col(id_col).alias("doc_id")] + [
+        expr.alias(name) for name, expr in (extra_cols or {}).items()
+    ]
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
+        docs.select(*base_cols)
         .join(best.select("doc_id", "lang", "hits"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("lang"), F.lit("und")).alias("predicted_lang"),
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("lex_hits"),
+            *[F.col(n) for n in (extra_cols or {})],
         )
     )
 

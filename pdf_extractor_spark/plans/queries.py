@@ -674,26 +674,34 @@ best AS (
 )
 SELECT d.doc_id,
        coalesce(b.lang, 'und') AS predicted_lang,
-       coalesce(b.hits, 0)::BIGINT AS lex_hits
+       coalesce(b.hits, 0)::BIGINT AS lex_hits,
+       len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS re_tokens
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""",
 )
 def lang_id(spark, sf_dir):
     """n-gram/stopword-hit language ID (broadcast lexicon join +
-    argmax window)."""
-    return T.language_id(R.load(spark, sf_dir, "documents"))
+    map-side-combinable argmax) PLUS the whitespace / BPE-ish-regex
+    pre-tokenizer counts, one row per document.
 
-
-@register(
-    "token_count",
-    """
-SELECT doc_id,
-       len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS re_tokens
-FROM documents""",
-)
-def token_count(spark, sf_dir):
-    """Whitespace + BPE-ish regex pre-tokenizer counts."""
-    return T.token_counts(R.load(spark, sf_dir, "documents"))
+    The two ops (language ID, token counting) were separate driver
+    rows through round 3; they share the per-doc grain and the token
+    columns are pure per-row expressions riding the same scan, so
+    they are one registry entry now — freeing a slot under the 50-row
+    driver artifact cap for the flagship `outline_stats` row
+    (VERDICT r3 next-round #1). Both operators remain independent
+    functions (textstats.language_id / token_counts) with their own
+    unit tests."""
+    docs = R.load(spark, sf_dir, "documents")
+    return T.language_id(
+        docs,
+        extra_cols={
+            "ws_tokens": F.size(T._words(F.col("text"))).cast("bigint"),
+            "re_tokens": F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(T.TOKEN_PATTERN), 0)
+            ).cast("bigint"),
+        },
+    )
 
 
 @register(
@@ -1303,6 +1311,134 @@ def pdf_parse_stats(spark, sf_dir):
                 F.concat_ws("\n", F.expr("transform(array_sort(collect_list(s)), x -> x.l)"))
             ).alias("content_md5"),
         )
+    )
+
+
+def _outline_stats_oracle(n: int = 400, seed_base: int = 88_000) -> str | None:
+    """DuckDB twin of outline_stats: an inline VALUES table of per-url
+    digests computed by tests/refimpl.py — the clean-room row-at-a-time
+    oracle that tests/test_refimpl_vs_reference.py pins byte-identical
+    to the ACTUAL reference code (extract_outline.py + analysis_new.py).
+    refimpl shares NO code with the distributed path under test
+    (operators/analyzer.py is vectorized pandas/numpy; refimpl is
+    stdlib row loops), so a hash match is construction-vs-execution
+    evidence for the flagship analyzer, same pattern as
+    pdf_parse_stats. Returns None when tests/refimpl.py is not on disk
+    (shipped-zip context) — the query then runs rows-only."""
+    import hashlib
+    import random
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    tests_dir = _Path(__file__).resolve().parents[2] / "tests"
+    if not (tests_dir / "refimpl.py").exists():
+        return None
+    if str(tests_dir) not in _sys.path:
+        _sys.path.insert(0, str(tests_dir))
+    import refimpl
+
+    from .. import corpus as corpus_mod
+
+    def _md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rows = []
+    for i in range(n):
+        pages = corpus_mod.random_spandoc(random.Random(seed_base + i))
+        res = refimpl.extract_document(pages)
+        if res is None:
+            continue  # failed docs produce NO output (S4) on both sides
+        ol = res["outline"]
+        concat = "\n".join(f"{e['level']}:{e['text']}:{e['page']}" for e in ol)
+        rows.append(
+            (
+                f"https://span.example.com/doc/{i:06d}",
+                len(ol),
+                sum(1 for e in ol if e["level"] == "H1"),
+                sum(1 for e in ol if e["level"] == "H2"),
+                sum(1 for e in ol if e["level"] == "H3"),
+                _md5(res["title"] or ""),
+                _md5(concat),
+                _md5(refimpl.render_json(res)),
+            )
+        )
+    vals = ",\n".join(
+        "('%s', %d, %d, %d, %d, '%s', '%s', '%s')" % r for r in rows
+    )
+    return (
+        "SELECT url, n_outline::BIGINT AS n_outline, n_h1::BIGINT AS n_h1,\n"
+        "       n_h2::BIGINT AS n_h2, n_h3::BIGINT AS n_h3,\n"
+        "       title_md5, outline_md5, json_md5\n"
+        f"FROM (VALUES {vals}) AS t(url, n_outline, n_h1, n_h2, n_h3,"
+        " title_md5, outline_md5, json_md5)"
+    )
+
+
+@register("outline_stats", _outline_stats_oracle())
+def outline_stats(spark, sf_dir):
+    """Hash-matched driver row for the FLAGSHIP analyzer (VERDICT r3
+    next-round #1): synthesize the deterministic spandoc corpus on the
+    executors, run the FULL production extraction (payload parse →
+    span-merge fold → 3-pass analyzer → byte-exact JSON render), then
+    reduce each url's outline_json to scalar digests entirely JVM-side
+    (from_json + higher-order functions — no Python after the one
+    Arrow extraction stage, no shuffle: the result stays one row per
+    url). json_md5 commits to the BYTE-identical reference sink format
+    per url; title/outline digests and per-level counts localize any
+    divergence. Reference: extract_outline.py:131-137,
+    utils/analysis_new.py:396."""
+    import pandas as pd
+
+    from .. import corpus as corpus_mod
+    from ..operators.extract import extract_pages
+
+    n = 400
+
+    def gen(batches):
+        import random
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                pages = corpus_mod.random_spandoc(random.Random(88_000 + i))
+                rows.append(
+                    {
+                        "url": f"https://span.example.com/doc/{i:06d}",
+                        "html": corpus_mod.spandoc_to_payload(pages),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    pages = spark.range(0, n, 1, 16).mapInPandas(gen, schema="url string, html binary")
+    res = extract_pages(pages).filter(F.col("parse_ok"))
+    o = F.from_json(
+        F.col("outline_json"),
+        "struct<title:string, outline:array<struct<level:string,text:string,page:int>>>",
+    )
+    outline = o.getField("outline")
+
+    def _lvl(level: str):
+        return F.size(F.filter(outline, lambda x: x.getField("level") == F.lit(level)))
+
+    entry_str = F.transform(
+        outline,
+        lambda x: F.concat_ws(
+            ":",
+            x.getField("level"),
+            x.getField("text"),
+            x.getField("page").cast("string"),
+        ),
+    )
+    return res.select(
+        "url",
+        F.size(outline).cast("bigint").alias("n_outline"),
+        _lvl("H1").cast("bigint").alias("n_h1"),
+        _lvl("H2").cast("bigint").alias("n_h2"),
+        _lvl("H3").cast("bigint").alias("n_h3"),
+        F.md5(F.coalesce(o.getField("title"), F.lit("")).cast("binary")).alias("title_md5"),
+        F.md5(F.concat_ws("\n", entry_str).cast("binary")).alias("outline_md5"),
+        F.md5(F.col("outline_json").cast("binary")).alias("json_md5"),
     )
 
 
