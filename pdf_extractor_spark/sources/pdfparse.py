@@ -22,17 +22,23 @@ cases around them:
   - simple fonts (Type1/TrueType): /Widths, /Encoding base +
     /Differences via an Adobe-Glyph-List subset, ToUnicode CMaps
   - composite fonts (Type0 / Identity-H, CIDFontType2): 2-byte
-    codes, /W + /DW widths, ToUnicode bfchar/bfrange
+    codes, /W + /DW widths, ToUnicode bfchar/bfrange; embedded
+    non-Identity CID CMap streams (codespacerange segmentation 1-4
+    byte codes, cidchar/cidrange code→CID for width lookup)
+  - Type3 glyph fonts: /Differences text, FontMatrix-scaled /Widths,
+    FontBBox vertical metrics (glyph programs never executed)
   - content streams: q/Q/cm, BT/ET, Tf/Td/TD/Tm/T*/TL/Tc/Tw/Tz/Ts,
     Tj/TJ/'/", inline-image skip (BI..EI), Form XObjects (Do)
 
-This is NOT a general-purpose PDF library: encrypted files, LZW,
-Type3 fonts, and vertical writing raise/parse-fail, which the caller
+This is NOT a general-purpose PDF library: passworded files,
+predefined non-Identity CMaps-by-name (no external table files), and
+vertical writing-mode advances degrade or parse-fail, which the caller
 converts to S4 failure rows (extract_outline.py:116-124 semantics).
 """
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 from typing import Any, Optional
@@ -941,6 +947,42 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+def _parse_cid_cmap(
+    data: bytes,
+) -> tuple[
+    list[tuple[int, int, int]], dict[int, int], list[tuple[int, int, int]]
+]:
+    """Embedded CID CMap stream (ISO 32000-1 §9.7.5.3) →
+    (codespace, cidchar map, cidrange list).
+
+    codespace: [(nbytes, lo, hi)] sorted by nbytes — the byte-length
+    buckets that segment a show-string into codes. cidchar: code→CID.
+    cidrange: [(lo, hi, cid_base)] sorted by lo, CID = base + (code-lo).
+    usecmap chains are not followed (they reference predefined CMaps we
+    don't ship); the caller treats unmapped codes as identity."""
+    codespace: list[tuple[int, int, int]] = []
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            lo_h, hi_h = cm.group(1), cm.group(2)
+            nbytes = (len(lo_h) + 1) // 2
+            codespace.append((nbytes, int(lo_h, 16), int(hi_h, 16)))
+    codespace.sort()
+    chars: dict[int, int] = {}
+    for m in re.finditer(rb"begincidchar(.*?)endcidchar", data, re.S):
+        for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)):
+            chars[int(cm.group(1), 16)] = int(cm.group(2))
+    ranges: list[tuple[int, int, int]] = []
+    for m in re.finditer(rb"begincidrange(.*?)endcidrange", data, re.S):
+        for cm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)
+        ):
+            ranges.append(
+                (int(cm.group(1), 16), int(cm.group(2), 16), int(cm.group(3)))
+            )
+    ranges.sort()
+    return codespace, chars, ranges
+
+
 _BASE_ENC_CACHE: dict[str, dict[int, str]] = {}
 _DEC_TABLE_CACHE: dict[tuple, list] = {}
 
@@ -987,8 +1029,16 @@ class Font:
         self._dec_table: list | None = None
         self.ascent = 0.8
         self.descent = -0.2
+        # Type0 code→CID map (embedded CMap streams); None = Identity
+        self._cid_chars: dict[int, int] | None = None
+        self._cid_ranges: list[tuple[int, int, int]] | None = None
+        # codespace byte-lengths present in the encoding CMap, ascending;
+        # None = fixed 2-byte (Identity-H/V and predefined CMaps)
+        self._code_lens: list[tuple[int, int, int]] | None = None
         if self.subtype == "Type0":
             self._init_type0()
+        elif self.subtype == "Type3":
+            self._init_type3()
         else:
             self._init_simple()
 
@@ -1042,6 +1092,42 @@ class Font:
                         self.enc[cur] = u
                     cur += 1
 
+    def _init_type3(self) -> None:
+        """Type3 glyph-program fonts (ISO 32000-1 §9.6.5). Text comes
+        from /Encoding /Differences + ToUnicode exactly like a simple
+        font, but /Widths are in GLYPH space: the advance in text space
+        is width·FontMatrix[0] (· fs), not width/1000. Scale the width
+        table to the 1000-unit convention decode() promises so span
+        x-extents match construction truth. Glyph programs themselves
+        (/CharProcs) never need executing for text extraction. fitz
+        parity: MuPDF names Type3 fonts from /Name, else 'Unnamed-T3'
+        (pdf-type3.c), and takes vertical metrics from the FontMatrix-
+        transformed /FontBBox."""
+        doc = self.doc
+        self._init_simple()
+        nm = doc.resolve(self.d.get("Name"))
+        self.name = str(nm) if isinstance(nm, (Name, str)) and str(nm) else "Unnamed-T3"
+        fm = doc.resolve(self.d.get("FontMatrix"))
+        try:
+            m = [float(doc.resolve(v)) for v in fm]
+            if len(m) != 6:
+                raise ValueError
+        except (TypeError, ValueError):
+            m = [0.001, 0.0, 0.0, 0.001, 0.0, 0.0]
+        sx = m[0] * 1000.0
+        if sx and abs(sx - 1.0) > 1e-9:
+            self.widths = {c: w * sx for c, w in self.widths.items()}
+            self.default_width *= sx
+        bbox = doc.resolve(self.d.get("FontBBox"))
+        try:
+            b = [float(doc.resolve(v)) for v in bbox]
+            y0, y1 = b[1] * m[3], b[3] * m[3]
+            if y1 > y0:  # degenerate/zero bbox: keep simple-font defaults
+                self.ascent = y1 if y1 > 0 else self.ascent
+                self.descent = y0 if y0 < 0 else 0.0
+        except (TypeError, ValueError, IndexError):
+            pass
+
     @staticmethod
     def _codec_for(enc_name: str) -> str:
         if "WinAnsi" in enc_name:
@@ -1053,6 +1139,24 @@ class Font:
     def _init_type0(self) -> None:
         doc = self.doc
         self.two_byte = True  # Identity-H / UCS2 CMaps: 2-byte codes
+        # /Encoding: Identity-H/V → code == CID, 2-byte. An EMBEDDED
+        # CMap stream defines its own codespace (1-4 byte codes, byte-
+        # length buckets) and code→CID ranges — parse it so both the
+        # glyph segmentation and the CID width lookup are right
+        # (ISO 32000-1 §9.7.5.3). Predefined non-Identity CMaps by name
+        # (UniJIS-UCS2-H, …) need external table files we don't ship:
+        # fall back to 2-byte identity — ToUnicode still supplies text,
+        # widths may use the code-as-CID approximation.
+        enc = doc.resolve(self.d.get("Encoding"))
+        if isinstance(enc, Stream):
+            try:
+                cs, chars, ranges = _parse_cid_cmap(enc.data())
+                if cs:
+                    self._code_lens = cs
+                self._cid_chars = chars or None
+                self._cid_ranges = ranges or None
+            except Exception:
+                pass  # malformed CMap → identity fallback
         desc_fonts = doc.resolve(self.d.get("DescendantFonts"))
         self.default_width = 1000.0
         if isinstance(desc_fonts, list) and desc_fonts:
@@ -1088,10 +1192,50 @@ class Font:
                         else:
                             break
 
+    def _cid_for(self, code: int) -> int:
+        """Type0 code→CID: cidchar, then cidrange bisect, else identity."""
+        if self._cid_chars is not None:
+            cid = self._cid_chars.get(code)
+            if cid is not None:
+                return cid
+        rngs = self._cid_ranges
+        if rngs:
+            i = bisect.bisect_right(rngs, (code, 0x7FFFFFFF, 0x7FFFFFFF)) - 1
+            if i >= 0:
+                lo, hi, base = rngs[i]
+                if lo <= code <= hi:
+                    return base + (code - lo)
+        return code
+
+    def _next_code(self, s: bytes, i: int) -> tuple[int, int]:
+        """Variable-length code segmentation per the encoding CMap's
+        codespace: shortest byte-length whose range contains the next
+        bytes wins; on no match, consume the shortest declared length
+        (spec error recovery) so decoding always advances."""
+        lens = self._code_lens
+        for nbytes, lo, hi in lens:
+            if i + nbytes <= len(s):
+                code = int.from_bytes(s[i : i + nbytes], "big")
+                if lo <= code <= hi:
+                    return code, nbytes
+        nbytes = min(lens[0][0], len(s) - i)
+        return int.from_bytes(s[i : i + nbytes], "big"), nbytes
+
     def decode(self, s: bytes) -> list[tuple[str, float, int]]:
         """→ [(unicode_text, width_in_1000ths, code)] per glyph."""
         out = []
         if self.two_byte:
+            if self._code_lens is not None:
+                i = 0
+                while i < len(s):
+                    code, nbytes = self._next_code(s, i)
+                    i += nbytes
+                    txt = self.tounicode.get(code)
+                    if txt is None:
+                        txt = "�" if code else ""
+                    cid = self._cid_for(code)
+                    out.append((txt, self.widths.get(cid, self.default_width), code))
+                return out
             for i in range(0, len(s) - 1, 2):
                 code = (s[i] << 8) | s[i + 1]
                 txt = self.tounicode.get(code)

@@ -1,0 +1,227 @@
+"""Exotic font paths of the pure-Python PDF parser: Type3 glyph fonts
+and Type0 composite fonts with EMBEDDED (non-Identity) CID CMap
+streams — the round-3 verdict's remaining parser delta vs fitz.
+
+All expectations are construction truth: each test assembles a minimal
+classic-xref PDF by hand, so the expected text and advance widths are
+known exactly from the font tables written into it (ISO 32000-1
+§9.6.5 Type3, §9.7.5.3 embedded CMaps). Reference behavior parity:
+MuPDF names Type3 fonts from /Name else 'Unnamed-T3' and transforms
+/Widths and /FontBBox through /FontMatrix (pdf-type3.c)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pdf_extractor_spark.sources.pdfparse import _parse_cid_cmap, extract_spans
+
+
+def _build(font_objs: list[tuple[int, bytes]], content: bytes, page_obj: int) -> bytes:
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num)
+        buf.extend(body)
+        buf.extend(b"\nendobj\n")
+
+    data = zlib.compress(content)
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page_obj)
+    for num, body in font_objs:
+        emit(num, body)
+    emit(
+        page_obj,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % (page_obj + 1),
+    )
+    emit(
+        page_obj + 1,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(data), data),
+    )
+    n = page_obj + 2
+    xref = len(buf)
+    buf.extend(b"xref\n0 %d\n" % n)
+    buf.extend(b"0000000000 65535 f \n")
+    for i in range(1, n):
+        buf.extend(b"%010d 00000 n \n" % offsets[i])
+    buf.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (n, xref)
+    )
+    return bytes(buf)
+
+
+def _only_line(pdf: bytes) -> dict:
+    """The single span of a one-line page (blocks -> lines -> spans)."""
+    pages = extract_spans(pdf)
+    assert len(pages) == 1
+    spans = [sp for blk in pages[0]["blocks"] for ln in blk for sp in ln]
+    assert len(spans) == 1
+    return spans[0]
+
+
+_STREAM = b"<< /Length %d >>\nstream\n%s\nendstream"
+
+
+def _t3_font(matrix: bytes = b"[0.01 0 0 0.01 0 0]", name: bytes = b"/Name /T3 ") -> list:
+    return [
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type3 " + name + b"/FontBBox [0 -20 100 100] "
+            b"/FontMatrix " + matrix + b" /CharProcs 4 0 R "
+            b"/Encoding << /Differences [65 /A /B /C] >> "
+            b"/FirstChar 65 /LastChar 67 /Widths [60 60 60] >>",
+        ),
+        (4, b"<< >>"),
+    ]
+
+
+class TestType3:
+    def test_text_name_and_fontmatrix_scaled_advance(self):
+        ln = _only_line(_build(_t3_font(), b"BT /F1 24 Tf 72 700 Td (ABC) Tj ET", 5))
+        assert ln["text"] == "ABC"
+        assert ln["font"] == "T3"
+        assert ln["size"] == 24.0
+        # width 60 glyph units x FontMatrix 0.01 = 0.6 em -> 14.4pt/glyph
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(43.2, abs=1e-6)
+        # FontBBox [0 -20 100 100] x 0.01 -> ascent 1.0, descent -0.2
+        assert ln["bbox"][3] - ln["bbox"][1] == pytest.approx(24.0 * 1.2, abs=1e-6)
+
+    def test_standard_thousandth_matrix_unchanged(self):
+        # FontMatrix 0.001 == the simple-font convention: 60/1000 em
+        t3 = _t3_font(matrix=b"[0.001 0 0 0.001 0 0]")
+        ln = _only_line(_build(t3, b"BT /F1 24 Tf 72 700 Td (ABC) Tj ET", 5))
+        assert ln["text"] == "ABC"
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(4.32, abs=1e-6)
+
+    def test_unnamed_t3_fallback(self):
+        ln = _only_line(
+            _build(_t3_font(name=b""), b"BT /F1 24 Tf 72 700 Td (ABC) Tj ET", 5)
+        )
+        assert ln["font"] == "Unnamed-T3"
+
+
+def _type0(cmap: bytes, tounicode: bytes, w: bytes, base: bytes = b"/Cust") -> list:
+    return [
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont " + base
+            + b" /Encoding 6 0 R /DescendantFonts [4 0 R] /ToUnicode 7 0 R >>",
+        ),
+        (
+            4,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont " + base
+            + b" /CIDSystemInfo << /Registry (X) /Ordering (Y) /Supplement 0 >> "
+            b"/DW 1000 /W " + w + b" >>",
+        ),
+        (5, b"<< >>"),
+        (6, _STREAM % (len(cmap), cmap)),
+        (7, _STREAM % (len(tounicode), tounicode)),
+    ]
+
+
+class TestEmbeddedCidCmap:
+    def test_one_byte_codespace_cidrange(self):
+        """1-byte codes A..C -> CID 100.. ; width keyed by CID not code."""
+        cmap = (
+            b"begincmap\n"
+            b"1 begincodespacerange <41> <5A> endcodespacerange\n"
+            b"1 begincidrange <41> <43> 100 endcidrange\nendcmap"
+        )
+        tou = (
+            b"begincmap\n1 beginbfrange <41> <43> <0058> endbfrange\nendcmap"
+        )
+        ln = _only_line(
+            _build(
+                _type0(cmap, tou, b"[100 [250 250 250]]"),
+                b"BT /F1 24 Tf 72 700 Td (ABC) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "XYZ"
+        # 3 glyphs x CID-width 250/1000 em x 24pt = 18pt (identity
+        # decoding would read 2-byte codes -> 2 glyphs at DW 1000 = 48pt)
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(18.0, abs=1e-6)
+
+    def test_mixed_width_codespace_segmentation(self):
+        """Shift-JIS-like codespace: 1-byte <00>-<7F> + 2-byte
+        <8140>-<FEFE>; the same show string must segment 'AB<8140>C'
+        into 4 glyphs with per-bucket code lengths."""
+        cmap = (
+            b"begincmap\n"
+            b"2 begincodespacerange <00> <7F> <8140> <FEFE> endcodespacerange\n"
+            b"1 begincidrange <41> <43> 100 endcidrange\n"
+            b"1 begincidchar <8140> 500 endcidchar\nendcmap"
+        )
+        tou = (
+            b"begincmap\n1 beginbfrange <41> <43> <0058> endbfrange\n"
+            b"1 beginbfchar <8140> <3042> endbfchar\nendcmap"
+        )
+        ln = _only_line(
+            _build(
+                _type0(cmap, tou, b"[100 [250 250 250] 500 [800]]", base=b"/Mix"),
+                b"BT /F1 24 Tf 72 700 Td (AB\x81\x40C) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "XYあZ"
+        # 3x250 + 1x800 thousandths at 24pt = 18 + 19.2
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(37.2, abs=1e-6)
+
+    def test_malformed_cmap_falls_back_to_identity(self):
+        """A garbage Encoding stream must not fail the parse: 2-byte
+        identity fallback, text via ToUnicode when resolvable."""
+        cmap = b"\x00\xff not a cmap at all <zz"
+        tou = b"begincmap\n1 beginbfchar <4142> <0051> endbfchar\nendcmap"
+        ln = _only_line(
+            _build(
+                _type0(cmap, tou, b"[]"),
+                b"BT /F1 24 Tf 72 700 Td (AB) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "Q"  # code 0x4142 via 2-byte identity
+
+    def test_identity_h_name_still_two_byte(self):
+        """/Encoding /Identity-H (a Name, not a stream) keeps the fast
+        fixed-2-byte path."""
+        objs = [
+            (
+                3,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Id /Encoding /Identity-H"
+                b" /DescendantFonts [4 0 R] /ToUnicode 7 0 R >>",
+            ),
+            (4, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Id /DW 600 >>"),
+            (5, b"<< >>"),
+            (6, b"<< >>"),
+            (
+                7,
+                _STREAM
+                % (
+                    len(b"begincmap\n1 beginbfchar <0041> <0041> endbfchar\nendcmap"),
+                    b"begincmap\n1 beginbfchar <0041> <0041> endbfchar\nendcmap",
+                ),
+            ),
+        ]
+        ln = _only_line(_build(objs, b"BT /F1 24 Tf 72 700 Td (\x00A) Tj ET", 8))
+        assert ln["text"] == "A"
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(14.4, abs=1e-6)
+
+
+class TestCidCmapParser:
+    def test_parse_shapes(self):
+        cs, chars, ranges = _parse_cid_cmap(
+            b"2 begincodespacerange <00> <80> <8140> <FEFE> endcodespacerange\n"
+            b"1 begincidchar <20> 1 endcidchar\n"
+            b"2 begincidrange <41> <5A> 100 <61> <7A> 200 endcidrange"
+        )
+        assert cs == [(1, 0x00, 0x80), (2, 0x8140, 0xFEFE)]
+        assert chars == {0x20: 1}
+        assert ranges == [(0x41, 0x5A, 100), (0x61, 0x7A, 200)]
+
+    def test_empty_input(self):
+        assert _parse_cid_cmap(b"") == ([], {}, [])
