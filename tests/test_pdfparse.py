@@ -248,6 +248,27 @@ def test_fuzzed_pdfs_never_hang(spark):
     rng = random.Random(424242)
     seeds = [(FIXTURES / f"file{i:02d}.pdf").read_bytes() for i in (1, 4, 5)]
     seeds += [corpus.random_pdf(random.Random(s)) for s in range(3)]
+    # exotic-font seeds so mutations exercise the Type3 / embedded-CMap
+    # decode paths (round-4 additions), not just Helvetica simple fonts
+    import test_pdf_fonts as tpf
+
+    seeds.append(
+        tpf._build(tpf._t3_font(), b"BT /F1 24 Tf 72 700 Td (ABC) Tj ET", 5)
+    )
+    _cm = (
+        b"begincmap\n"
+        b"2 begincodespacerange <00> <7F> <8140> <FEFE> endcodespacerange\n"
+        b"1 begincidrange <41> <43> 100 endcidrange\n"
+        b"1 begincidchar <8140> 500 endcidchar\nendcmap"
+    )
+    _tu = b"begincmap\n1 beginbfrange <41> <43> <0058> endbfrange\nendcmap"
+    seeds.append(
+        tpf._build(
+            tpf._type0(_cm, _tu, b"[100 [250 250 250]]"),
+            b"BT /F1 24 Tf 72 700 Td (AB\x81\x40C) Tj ET",
+            8,
+        )
+    )
     mutants = []
     for i in range(150):
         base = bytearray(rng.choice(seeds))
