@@ -22,6 +22,12 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extractor_spark")
     ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument(
+        "--input-warc",
+        metavar="DIR",
+        help="ingest Common-Crawl-style *.warc / *.warc.gz archives "
+        "instead of a parquet pages table (sources/warc.py)",
+    )
     ap.add_argument("--synthesize", type=int, default=0, help="generate N synthetic pages instead of --input")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", required=True)
@@ -85,8 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         pages = corpus.distributed_pages(spark, args.synthesize, seed=args.seed)
     elif args.input:
         pages = spark.read.parquet(args.input)
+    elif args.input_warc:
+        from pdf_extractor_spark.sources.warc import pages_from_warc
+
+        pages = pages_from_warc(spark, args.input_warc)
     else:
-        ap.error("need --input or --synthesize")
+        ap.error("need --input, --input-warc, or --synthesize")
 
     if args.resume:
         pages = pio.filter_pending(pages, args.output)

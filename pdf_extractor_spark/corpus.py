@@ -353,6 +353,39 @@ def build_pages_row(i: int, seed: int = 42, html_fraction: float = 0.25) -> dict
     return {"url": url, "warc_ts": ts, "html": payload, "text": None, "lang": lang}
 
 
+def rows_to_warc(rows: list[dict], member_gzip: bool = True) -> bytes:
+    """pages rows → Common-Crawl-style WARC bytes: one ``response``
+    record per row, payload wrapped in a minimal HTTP/1.1 response;
+    ``member_gzip=True`` gzips each record as its own member (the CC
+    ``.warc.gz`` layout), else plain concatenated ``.warc``. gzip
+    headers are pinned (mtime=0) so output is byte-deterministic."""
+    import gzip as _gz
+
+    out = bytearray()
+    for row in rows:
+        payload = row["html"] or b""
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload)
+        ) + payload
+        ts = row.get("warc_ts")
+        date = (
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None
+            else "2020-01-01T00:00:00Z"
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: %s\r\n"
+            b"WARC-Date: %s\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % (row["url"].encode(), date.encode(), len(http))
+        ) + http + b"\r\n\r\n"
+        out += _gz.compress(rec, mtime=0) if member_gzip else rec
+    return bytes(out)
+
+
 def build_pages_rows(n_docs: int, seed: int = 42, html_fraction: float = 0.25) -> list[dict]:
     """Deterministic pages-table rows. ~html_fraction of rows carry HTML
     payloads, the rest spandocs; a small slice is corrupt (S4 path)."""

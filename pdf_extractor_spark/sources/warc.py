@@ -1,0 +1,194 @@
+"""WARC source: Common-Crawl-style ``*.warc`` / ``*.warc.gz`` archives
+→ the canonical pages table ``(url, warc_ts, html, text, lang)``.
+
+The north rule's input is "an Iceberg table of Common-Crawl-style web
+pages"; this module is the ingest edge that builds that table from the
+crawl's actual on-disk format (ISO 28500). Layout handled:
+
+  - plain ``.warc``: concatenated records
+  - ``.warc.gz``: independently-gzipped members (Common Crawl's layout,
+    one member per record) AND whole-file gzip — zlib member walking
+    covers both identically
+  - record block of a ``response`` record = full HTTP response; the
+    page payload is the HTTP body (headers stripped, chunked
+    transfer-encoding de-chunked, gzip/deflate Content-Encoding
+    decoded); ``resource`` records carry the payload directly
+
+Scale shape: Spark's binaryFile source yields ONE ROW PER FILE, so a
+crawl segment of ~1 GB ``warc.gz`` files gives one task per archive —
+the same unit of work every public CC-on-Spark pipeline uses (each
+member decompresses independently, but a member is useless without its
+record header, so the file is the natural split). Memory per task is
+bounded by one archive's decompressed size; at 10^12 documents you
+size executors for the largest archive, not the corpus. Malformed
+records degrade per-record (skipped), not per-file, and truncated
+archives yield their parseable prefix — error accounting then happens
+per-DOCUMENT in the extraction stage (S4 lineage), which is where a
+corrupt payload should land, not at ingest.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator, Optional
+
+__all__ = ["iter_warc_records", "pages_from_warc", "http_response_body"]
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL gzip members of a buffer (CC writes one member
+    per record; plain single-member files decompress identically)."""
+    out = bytearray()
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error:
+            break  # truncated trailing member: keep what decoded
+        if not d.eof:
+            break
+        data = d.unused_data
+    return bytes(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, block) per WARC record. Header names are
+    lower-cased; values stripped. Tolerates a truncated final record
+    (yields nothing for it) and resynchronizes on the next ``WARC/``
+    magic if a Content-Length lies."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1", "replace"
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            # unparseable length: resync on the next record magic
+            pos = start + 5
+            continue
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            return  # truncated final record
+        yield headers, data[body_start:body_end]
+        pos = body_end
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[eol + 2 : eol + 2 + size]
+        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
+
+
+def http_response_body(block: bytes) -> Optional[bytes]:
+    """HTTP response block → payload bytes. Strips the status line +
+    headers, de-chunks Transfer-Encoding: chunked, and decodes
+    gzip/deflate Content-Encoding. A block that is not an HTTP response
+    is returned whole (resource-record semantics). Returns None only
+    for an undecodable encoded body."""
+    if not block.startswith(b"HTTP/"):
+        return block
+    split = block.find(b"\r\n\r\n")
+    if split < 0:
+        return b""
+    head = block[:split].lower()
+    body = block[split + 4 :]
+    if b"transfer-encoding:" in head and b"chunked" in head:
+        body = _dechunk(body)
+    if b"content-encoding:" in head:
+        if b"gzip" in head:
+            try:
+                body = gzip.decompress(body)
+            except OSError:
+                return None
+        elif b"deflate" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -15)  # raw deflate
+                except zlib.error:
+                    return None
+    return body
+
+
+_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_from_warc(spark, input_dir: str, glob: str = "*.warc*"):
+    """Directory of WARC archives → pages DataFrame in the canonical
+    input-table schema. ``response`` and ``resource`` records become
+    rows (url = WARC-Target-URI, warc_ts = WARC-Date); warcinfo /
+    request / metadata records are skipped. One Arrow batch per
+    archive file; per-record failures drop the record, never the
+    task."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for headers, block in iter_warc_records(bytes(content)):
+                    rtype = headers.get("warc-type")
+                    if rtype not in ("response", "resource"):
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    payload = (
+                        http_response_body(block) if rtype == "response" else block
+                    )
+                    if payload is None:
+                        continue
+                    ts = pd.to_datetime(
+                        headers.get("warc-date"), errors="coerce", utc=True
+                    )
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
+                            "html": payload,
+                            "text": None,
+                            "lang": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(input_dir)
+        .select("content")
+    )
+    return raw.mapInPandas(parse, schema=_PAGES_SCHEMA)

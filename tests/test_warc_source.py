@@ -1,0 +1,148 @@
+"""WARC ingest edge (sources/warc.py): Common-Crawl-style archives →
+the canonical pages table. Expectations are construction truth —
+corpus.rows_to_warc writes records with known urls/timestamps/payloads,
+so the reader must return exactly those rows."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pdf_extractor_spark import corpus
+from pdf_extractor_spark.sources.warc import (
+    http_response_body,
+    iter_warc_records,
+    pages_from_warc,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_extractor_spark.session import get_spark
+
+    return get_spark("test_warc", shuffle_partitions=8)
+
+
+def _rows(n=40, seed=5):
+    return corpus.build_pages_rows(n, seed)
+
+
+class TestRecordIteration:
+    def test_roundtrip_member_gzip(self):
+        rows = _rows()
+        data = corpus.rows_to_warc(rows, member_gzip=True)
+        recs = list(iter_warc_records(data))
+        assert len(recs) == len(rows)
+        for (hdr, block), row in zip(recs, rows):
+            assert hdr["warc-type"] == "response"
+            assert hdr["warc-target-uri"] == row["url"]
+            assert http_response_body(block) == row["html"]
+
+    def test_roundtrip_plain_warc(self):
+        rows = _rows(10)
+        data = corpus.rows_to_warc(rows, member_gzip=False)
+        recs = list(iter_warc_records(data))
+        assert [h["warc-target-uri"] for h, _ in recs] == [r["url"] for r in rows]
+
+    def test_deterministic_bytes(self):
+        rows = _rows(5)
+        assert corpus.rows_to_warc(rows) == corpus.rows_to_warc(rows)
+
+    def test_truncated_final_record_yields_prefix(self):
+        rows = _rows(10)
+        data = corpus.rows_to_warc(rows, member_gzip=False)
+        cut = data[: len(data) - len(rows[-1]["html"]) - 10]
+        recs = list(iter_warc_records(cut))
+        assert len(recs) == 9  # last record dropped, rest intact
+        assert http_response_body(recs[8][1]) == rows[8]["html"]
+
+    def test_truncated_gzip_member_keeps_decoded_prefix(self):
+        rows = _rows(6)
+        data = corpus.rows_to_warc(rows, member_gzip=True)
+        recs = list(iter_warc_records(data[:-40]))
+        assert len(recs) >= 4
+
+    def test_bad_content_length_resyncs(self):
+        good = corpus.rows_to_warc(_rows(3), member_gzip=False)
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/\r\nContent-Length: oops\r\n\r\n"
+        )
+        recs = list(iter_warc_records(bad + good))
+        assert len(recs) == 3  # skips the liar, finds the next magic
+
+
+class TestHttpBody:
+    def test_chunked_transfer_encoding(self):
+        body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+        block = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+        )
+        assert http_response_body(block) == b"hello world"
+
+    def test_gzip_content_encoding(self):
+        payload = b"<html>compressed</html>"
+        gz = gzip.compress(payload)
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(gz)
+        ) + gz
+        assert http_response_body(block) == payload
+
+    def test_non_http_block_returned_whole(self):
+        assert http_response_body(b"raw resource bytes") == b"raw resource bytes"
+
+    def test_undecodable_gzip_returns_none(self):
+        block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+        assert http_response_body(block) is None
+
+
+class TestSparkSource:
+    def test_pages_from_warc_matches_parquet_rows(self, spark, tmp_path):
+        """Two .warc.gz archives → DataFrame identical (url, warc_ts,
+        payload) to the source rows; non-page records skipped."""
+        rows = _rows(40)
+        (tmp_path / "seg0.warc.gz").write_bytes(corpus.rows_to_warc(rows[:25]))
+        (tmp_path / "seg1.warc.gz").write_bytes(corpus.rows_to_warc(rows[25:]))
+        warcinfo = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        )
+        (tmp_path / "seg2.warc.gz").write_bytes(gzip.compress(warcinfo, mtime=0))
+
+        df = pages_from_warc(spark, str(tmp_path))
+        assert df.schema.simpleString() == (
+            "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+        )
+        got = {r["url"]: r for r in df.collect()}
+        assert len(got) == 40
+        for row in rows:
+            g = got[row["url"]]
+            assert bytes(g["html"]) == row["html"]
+            assert g["warc_ts"] == row["warc_ts"].replace(microsecond=0, tzinfo=None)
+
+    def test_warc_to_extraction_end_to_end(self, spark, tmp_path):
+        """WARC ingest feeds the production extraction unchanged: same
+        outline_json per url as the parquet path."""
+        from pdf_extractor_spark.operators.extract import extract_pages
+
+        rows = _rows(30, seed=9)
+        (tmp_path / "a.warc.gz").write_bytes(corpus.rows_to_warc(rows))
+        via_warc = {
+            r["url"]: r["outline_json"]
+            for r in extract_pages(pages_from_warc(spark, str(tmp_path)))
+            .filter("parse_ok")
+            .select("url", "outline_json")
+            .collect()
+        }
+        direct_df = spark.createDataFrame(
+            [(r["url"], r["html"]) for r in rows], "url string, html binary"
+        )
+        direct = {
+            r["url"]: r["outline_json"]
+            for r in extract_pages(direct_df)
+            .filter("parse_ok")
+            .select("url", "outline_json")
+            .collect()
+        }
+        assert via_warc == direct and len(via_warc) > 20
