@@ -143,6 +143,38 @@ def http_response_body(block: bytes) -> Optional[bytes]:
 _PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def parse_content_batches(batches):
+    """mapInPandas closure over binaryFile ``content`` batches — shared
+    by the batch source below and streaming.stream_warc_pages so both
+    edges parse records identically."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for content in pdf["content"]:
+            for headers, block in iter_warc_records(bytes(content)):
+                rtype = headers.get("warc-type")
+                if rtype not in ("response", "resource"):
+                    continue
+                url = headers.get("warc-target-uri")
+                if not url:
+                    continue
+                payload = http_response_body(block) if rtype == "response" else block
+                if payload is None:
+                    continue
+                ts = pd.to_datetime(headers.get("warc-date"), errors="coerce", utc=True)
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
+                        "html": payload,
+                        "text": None,
+                        "lang": None,
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
 def pages_from_warc(spark, input_dir: str, glob: str = "*.warc*"):
     """Directory of WARC archives → pages DataFrame in the canonical
     input-table schema. ``response`` and ``resource`` records become
@@ -150,40 +182,6 @@ def pages_from_warc(spark, input_dir: str, glob: str = "*.warc*"):
     request / metadata records are skipped. One Arrow batch per
     archive file; per-record failures drop the record, never the
     task."""
-    import pandas as pd
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                for headers, block in iter_warc_records(bytes(content)):
-                    rtype = headers.get("warc-type")
-                    if rtype not in ("response", "resource"):
-                        continue
-                    url = headers.get("warc-target-uri")
-                    if not url:
-                        continue
-                    payload = (
-                        http_response_body(block) if rtype == "response" else block
-                    )
-                    if payload is None:
-                        continue
-                    ts = pd.to_datetime(
-                        headers.get("warc-date"), errors="coerce", utc=True
-                    )
-                    rows.append(
-                        {
-                            "url": url,
-                            "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
-                            "html": payload,
-                            "text": None,
-                            "lang": None,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
-
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -191,4 +189,4 @@ def pages_from_warc(spark, input_dir: str, glob: str = "*.warc*"):
         .load(input_dir)
         .select("content")
     )
-    return raw.mapInPandas(parse, schema=_PAGES_SCHEMA)
+    return raw.mapInPandas(parse_content_batches, schema=_PAGES_SCHEMA)

@@ -40,6 +40,36 @@ def stream_pages(spark: SparkSession, input_dir: str, max_files: int = 16) -> Da
     )
 
 
+def stream_warc_pages(
+    spark: SparkSession, input_dir: str, max_files: int = 4
+) -> DataFrame:
+    """Streaming twin of sources.warc.pages_from_warc: a binaryFile
+    stream over a crawl landing directory — each newly-arrived
+    ``*.warc``/``*.warc.gz`` archive becomes one micro-batch unit and
+    parses into pages rows with the SAME record iterator the batch
+    ingest uses. maxFilesPerTrigger bounds micro-batch payload volume
+    (archives are ~1 GB each in a real crawl). Compose with
+    stream_extract for checkpointed, resumable ingest-as-it-arrives:
+    the file source's checkpoint dedups archives across restarts, and
+    stream_extract's url anti-join dedups re-shipped urls."""
+    from ..sources.warc import _PAGES_SCHEMA, parse_content_batches
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed but the streaming source still
+        # demands it explicitly (no inference on streams)
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", max_files)
+        .load(input_dir)
+        .select("content")
+    )
+    return raw.mapInPandas(parse_content_batches, schema=_PAGES_SCHEMA)
+
+
 def stream_extract(
     pages_stream: DataFrame,
     out_dir: str,

@@ -121,6 +121,43 @@ class TestSparkSource:
             assert bytes(g["html"]) == row["html"]
             assert g["warc_ts"] == row["warc_ts"].replace(microsecond=0, tzinfo=None)
 
+    def test_streaming_warc_ingest_checkpoint_resume(self, spark, tmp_path):
+        """Landing-dir stream: archives arriving between runs are
+        picked up exactly once (file-source checkpoint), producing the
+        same committed table a batch run over all archives would."""
+        from pdf_extractor_spark.streaming.pipeline import (
+            stream_extract,
+            stream_warc_pages,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        out = str(tmp_path / "result")
+        ckpt = str(tmp_path / "ckpt")
+        rows = _rows(60, seed=13)
+        (land / "s0.warc.gz").write_bytes(corpus.rows_to_warc(rows[:20]))
+        (land / "s1.warc.gz").write_bytes(corpus.rows_to_warc(rows[20:40]))
+
+        q = stream_extract(stream_warc_pages(spark, str(land)), out, ckpt, n_buckets=4)
+        q.awaitTermination()
+        first = spark.read.parquet(out + "/result").count()
+
+        (land / "s2.warc.gz").write_bytes(corpus.rows_to_warc(rows[40:]))
+        q = stream_extract(stream_warc_pages(spark, str(land)), out, ckpt, n_buckets=4)
+        q.awaitTermination()
+        res = spark.read.parquet(out + "/result")
+        ok_urls = [r["url"] for r in res.filter("ok = 1").select("url").collect()]
+        assert len(ok_urls) == len(set(ok_urls))  # no re-extraction of s0/s1
+        assert res.count() - first > 0
+        # parity with the batch path over the full landing dir
+        batch_ok = (
+            pages_from_warc(spark, str(land))
+            .selectExpr("url")
+            .distinct()
+            .count()
+        )
+        assert res.select("url").distinct().count() == batch_ok
+
     def test_warc_to_extraction_end_to_end(self, spark, tmp_path):
         """WARC ingest feeds the production extraction unchanged: same
         outline_json per url as the parquet path."""
