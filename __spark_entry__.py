@@ -79,6 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdf_extractor_spark.plans.queries import ORACLES
+    from pdf_extractor_spark.plans.queries import resolve_oracles
 
-    return dict(ORACLES)
+    return resolve_oracles()

@@ -127,10 +127,25 @@ def contract_mode() -> None:
             sf = float(tok)
         except ValueError:
             pass
-    # round-1 comparability: the headline set grew by 2 queries in
-    # round 2 (pdf_payload_extract, fingerprint_winnow); expose the
-    # round-1 17-query subtotal so value deltas are apples-to-apples
-    r1_set = [q for q in HEADLINE if q not in ("pdf_payload_extract", "fingerprint_winnow")]
+    # cross-round comparability: the headline set changed over rounds
+    # (r2 added pdf_payload_extract + fingerprint_winnow; r4 swapped
+    # token_count for outline_stats and folded token counting into
+    # lang_id). A subtotal derived from the CURRENT set would silently
+    # change meaning each round, so pin the comparable subtotal to the
+    # queries that exist in every round's headline with unchanged
+    # semantics (16: the round-1 set minus the retired token_count —
+    # lang_id is excluded too since r4 widened what it computes).
+    stable_set = [
+        q
+        for q in HEADLINE
+        if q
+        not in (
+            "pdf_payload_extract",
+            "fingerprint_winnow",
+            "outline_stats",
+            "lang_id",
+        )
+    ]
     out = {
         "metric": "headline_suite_wall_clock",
         "value": res["total_sec"],
@@ -141,8 +156,8 @@ def contract_mode() -> None:
             "docs_per_sec_flagship": res["docs_per_sec"],
             "cores": cpus,
             "rows": res["rows"],
-            "round1_comparable_17q_sec": round(
-                sum(res["queries"][q] for q in r1_set), 3
+            "cross_round_stable_15q_sec": round(
+                sum(res["queries"][q] for q in stable_set), 3
             ),
         },
     }

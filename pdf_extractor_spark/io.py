@@ -30,20 +30,38 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
-def _committed_partition_layout(table_dir: str) -> list[str] | None:
+def _committed_partition_layout(
+    table_dir: str, spark: SparkSession | None = None
+) -> list[str] | None:
     """Partition columns of an already-committed table, read from its
     directory structure (None if nothing is committed yet). Appends
     must adopt the on-disk layout: mixing bucket-only (pre-upgrade)
     and bucket/ok directories in one table gives mixed partition
     depths, which Spark's partition discovery rejects outright
     ('Conflicting directory structures')."""
-    if not os.path.isdir(table_dir):
+    if os.path.isdir(table_dir):
+        for entry in os.listdir(table_dir):
+            if entry.startswith("bucket="):
+                sub = os.path.join(table_dir, entry)
+                if any(e.startswith("ok=") for e in os.listdir(sub)):
+                    return ["bucket", "ok"]
+                return ["bucket"]
         return None
-    for entry in os.listdir(table_dir):
-        if entry.startswith("bucket="):
-            sub = os.path.join(table_dir, entry)
-            if any(e.startswith("ok=") for e in os.listdir(sub)):
-                return ["bucket", "ok"]
+    if spark is None:
+        return None
+    # non-local table (hdfs://, s3a://, …): os.path can't see it — ask
+    # Hadoop's FileSystem, else the migration guard silently no-ops in
+    # exactly the production deployment it exists for
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    for st in fs.listStatus(path):
+        if st.getPath().getName().startswith("bucket="):
+            for sub in fs.listStatus(st.getPath()):
+                if sub.getPath().getName().startswith("ok="):
+                    return ["bucket", "ok"]
             return ["bucket"]
     return None
 
@@ -98,7 +116,9 @@ def write_result(
         "ok", F.col("parse_ok").cast("int")
     )
     part_cols = ["bucket", "ok"]
-    if mode == "append" and _committed_partition_layout(table_dir) == ["bucket"]:
+    if mode == "append" and _committed_partition_layout(
+        table_dir, result.sparkSession
+    ) == ["bucket"]:
         # migration guard: a streaming job resuming into a table written
         # before the ok-partition upgrade keeps the legacy bucket-only
         # layout (and drops the helper column so file schemas stay

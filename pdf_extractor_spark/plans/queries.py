@@ -18,10 +18,17 @@ from pyspark.sql import functions as F
 from . import relational as R
 
 QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+ORACLES: dict = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle=None):
+    """Register a query and (optionally) its DuckDB oracle. ``oracle``
+    may be the SQL string or a zero-arg callable returning it (or
+    None): generated oracles (pdf_parse_stats, outline_stats) cost
+    ~0.5s of reference-implementation work to build, which every
+    import of this module would pay eagerly — resolve_oracles() defers
+    that to the one consumer that actually compares."""
+
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -29,6 +36,18 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """ORACLES with callables resolved to SQL; entries whose generator
+    returns None (context unavailable) are dropped → rows-only."""
+    out: dict[str, str] = {}
+    for name, sql in ORACLES.items():
+        if callable(sql):
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out
 
 
 def _blocks(spark, sf_dir):
@@ -1253,7 +1272,7 @@ def _pdf_stats_oracle(n: int = 300) -> str:
     )
 
 
-@register("pdf_parse_stats", _pdf_stats_oracle())
+@register("pdf_parse_stats", _pdf_stats_oracle)
 def pdf_parse_stats(spark, sf_dir):
     """Hash-matched driver row for the real-%PDF parser (VERDICT r2
     'What's wrong' #3): synthesize deterministic %PDF bytes on the
@@ -1326,16 +1345,20 @@ def _outline_stats_oracle(n: int = 400, seed_base: int = 88_000) -> str | None:
     pdf_parse_stats. Returns None when tests/refimpl.py is not on disk
     (shipped-zip context) — the query then runs rows-only."""
     import hashlib
+    import importlib.util
     import random
-    import sys as _sys
     from pathlib import Path as _Path
 
     tests_dir = _Path(__file__).resolve().parents[2] / "tests"
     if not (tests_dir / "refimpl.py").exists():
         return None
-    if str(tests_dir) not in _sys.path:
-        _sys.path.insert(0, str(tests_dir))
-    import refimpl
+    # load by path — mutating sys.path here would let tests/ shadow
+    # same-named modules for the rest of the process
+    spec = importlib.util.spec_from_file_location(
+        "pdfx_refimpl_oracle", tests_dir / "refimpl.py"
+    )
+    refimpl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refimpl)
 
     from .. import corpus as corpus_mod
 
@@ -1374,7 +1397,7 @@ def _outline_stats_oracle(n: int = 400, seed_base: int = 88_000) -> str | None:
     )
 
 
-@register("outline_stats", _outline_stats_oracle())
+@register("outline_stats", _outline_stats_oracle)
 def outline_stats(spark, sf_dir):
     """Hash-matched driver row for the FLAGSHIP analyzer (VERDICT r3
     next-round #1): synthesize the deterministic spandoc corpus on the

@@ -950,22 +950,30 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
 def _parse_cid_cmap(
     data: bytes,
 ) -> tuple[
-    list[tuple[int, int, int]], dict[int, int], list[tuple[int, int, int]]
+    list[tuple[int, bytes, bytes]], dict[int, int], list[tuple[int, int, int]]
 ]:
     """Embedded CID CMap stream (ISO 32000-1 §9.7.5.3) →
     (codespace, cidchar map, cidrange list).
 
-    codespace: [(nbytes, lo, hi)] sorted by nbytes — the byte-length
-    buckets that segment a show-string into codes. cidchar: code→CID.
-    cidrange: [(lo, hi, cid_base)] sorted by lo, CID = base + (code-lo).
-    usecmap chains are not followed (they reference predefined CMaps we
-    don't ship); the caller treats unmapped codes as identity."""
-    codespace: list[tuple[int, int, int]] = []
+    codespace: [(nbytes, lo_bytes, hi_bytes)] sorted by nbytes — the
+    byte-length buckets that segment a show-string into codes. Range
+    membership is BYTE-WISE per §9.7.6.2 (each byte of the code must
+    lie within the corresponding byte of lo/hi — <8140><FEFE> excludes
+    0x81FF because 0xFF > 0xFE in the second byte), which is why the
+    bounds stay as bytes. cidchar: code→CID. cidrange: [(lo, hi,
+    cid_base)] sorted by lo, CID = base + (code-lo). usecmap chains are
+    not followed (they reference predefined CMaps we don't ship); the
+    caller treats unmapped codes as identity."""
+    codespace: list[tuple[int, bytes, bytes]] = []
     for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
         for cm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
             lo_h, hi_h = cm.group(1), cm.group(2)
             nbytes = (len(lo_h) + 1) // 2
-            codespace.append((nbytes, int(lo_h, 16), int(hi_h, 16)))
+            lo = int(lo_h, 16).to_bytes(nbytes, "big")
+            hi = int(hi_h, 16).to_bytes(max(nbytes, (len(hi_h) + 1) // 2), "big")
+            if len(hi) != nbytes:
+                continue  # malformed: lo/hi of different byte lengths
+            codespace.append((nbytes, lo, hi))
     codespace.sort()
     chars: dict[int, int] = {}
     for m in re.finditer(rb"begincidchar(.*?)endcidchar", data, re.S):
@@ -1034,7 +1042,7 @@ class Font:
         self._cid_ranges: list[tuple[int, int, int]] | None = None
         # codespace byte-lengths present in the encoding CMap, ascending;
         # None = fixed 2-byte (Identity-H/V and predefined CMaps)
-        self._code_lens: list[tuple[int, int, int]] | None = None
+        self._code_lens: list[tuple[int, bytes, bytes]] | None = None
         if self.subtype == "Type0":
             self._init_type0()
         elif self.subtype == "Type3":
@@ -1151,6 +1159,11 @@ class Font:
         if isinstance(enc, Stream):
             try:
                 cs, chars, ranges = _parse_cid_cmap(enc.data())
+                if not cs and (chars or ranges):
+                    # CID mappings without a codespacerange (seen in
+                    # sloppy writers): assume the default 2-byte space
+                    # so the parsed code→CID data still keys widths
+                    cs = [(2, b"\x00\x00", b"\xff\xff")]
                 if cs:
                     self._code_lens = cs
                 self._cid_chars = chars or None
@@ -1210,14 +1223,16 @@ class Font:
     def _next_code(self, s: bytes, i: int) -> tuple[int, int]:
         """Variable-length code segmentation per the encoding CMap's
         codespace: shortest byte-length whose range contains the next
-        bytes wins; on no match, consume the shortest declared length
-        (spec error recovery) so decoding always advances."""
+        bytes wins. Membership is BYTE-WISE (§9.7.6.2): every byte of
+        the candidate must lie within the corresponding byte of the
+        range bounds. On no match, consume the shortest declared
+        length (spec error recovery) so decoding always advances."""
         lens = self._code_lens
         for nbytes, lo, hi in lens:
             if i + nbytes <= len(s):
-                code = int.from_bytes(s[i : i + nbytes], "big")
-                if lo <= code <= hi:
-                    return code, nbytes
+                cand = s[i : i + nbytes]
+                if all(lo[j] <= cand[j] <= hi[j] for j in range(nbytes)):
+                    return int.from_bytes(cand, "big"), nbytes
         nbytes = min(lens[0][0], len(s) - i)
         return int.from_bytes(s[i : i + nbytes], "big"), nbytes
 

@@ -85,7 +85,27 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:
-            return  # truncated final record
+            # length runs past EOF: either a truncated tail (no further
+            # record follows — stop) or a lying length (drop this
+            # record, resync on the next magic)
+            nxt = data.find(b"WARC/", body_start)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        if body_end != n and data[body_end : body_end + 4] != b"\r\n\r\n":
+            # ISO 28500 §4: every record ends with two CRLFs. A missing
+            # terminator means the length lied. If it OVERSHOT the true
+            # block, the declared span swallowed the next record(s):
+            # keep only up to the first in-block record boundary and
+            # resync there. (An UNDERSTATED length falls through: the
+            # truncated block is yielded and the outer magic-scan skips
+            # the leftover body bytes.)
+            inner = data.find(b"\r\nWARC/", body_start, body_end)
+            if inner >= 0:
+                yield headers, data[body_start:inner]
+                pos = inner + 2
+                continue
         yield headers, data[body_start:body_end]
         pos = body_end
 
@@ -110,33 +130,40 @@ def _dechunk(body: bytes) -> bytes:
 
 def http_response_body(block: bytes) -> Optional[bytes]:
     """HTTP response block → payload bytes. Strips the status line +
-    headers, de-chunks Transfer-Encoding: chunked, and decodes
-    gzip/deflate Content-Encoding. A block that is not an HTTP response
-    is returned whole (resource-record semantics). Returns None only
-    for an undecodable encoded body."""
+    headers, de-chunks ``Transfer-Encoding: chunked``, and decodes
+    gzip/deflate ``Content-Encoding``. Header VALUES are parsed per
+    field name — a substring scan over the whole header blob would
+    misfire on e.g. ``Content-Type: application/x-gzip`` or
+    ``Via: 1.1 proxy (gzip)``. A block that is not an HTTP response is
+    returned whole (resource-record semantics). Returns None only for
+    an undecodable encoded body."""
     if not block.startswith(b"HTTP/"):
         return block
     split = block.find(b"\r\n\r\n")
     if split < 0:
         return b""
-    head = block[:split].lower()
+    headers: dict[bytes, bytes] = {}
+    for line in block[:split].split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip().lower()
     body = block[split + 4 :]
-    if b"transfer-encoding:" in head and b"chunked" in head:
+    if b"chunked" in headers.get(b"transfer-encoding", b""):
         body = _dechunk(body)
-    if b"content-encoding:" in head:
-        if b"gzip" in head:
+    enc = headers.get(b"content-encoding", b"identity")
+    if b"gzip" in enc or b"x-gzip" in enc:
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            return None
+    elif b"deflate" in enc:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
             try:
-                body = gzip.decompress(body)
-            except OSError:
-                return None
-        elif b"deflate" in head:
-            try:
-                body = zlib.decompress(body)
+                body = zlib.decompress(body, -15)  # raw deflate
             except zlib.error:
-                try:
-                    body = zlib.decompress(body, -15)  # raw deflate
-                except zlib.error:
-                    return None
+                return None
     return body
 
 

@@ -219,9 +219,49 @@ class TestCidCmapParser:
             b"1 begincidchar <20> 1 endcidchar\n"
             b"2 begincidrange <41> <5A> 100 <61> <7A> 200 endcidrange"
         )
-        assert cs == [(1, 0x00, 0x80), (2, 0x8140, 0xFEFE)]
+        assert cs == [(1, b"\x00", b"\x80"), (2, b"\x81\x40", b"\xfe\xfe")]
         assert chars == {0x20: 1}
         assert ranges == [(0x41, 0x5A, 100), (0x61, 0x7A, 200)]
 
     def test_empty_input(self):
         assert _parse_cid_cmap(b"") == ([], {}, [])
+
+    def test_bytewise_codespace_membership(self):
+        """ISO 32000-1 §9.7.6.2: range membership is per-byte, not an
+        integer compare — <8140><FEFE> excludes 0x81FF (second byte
+        0xFF > 0xFE) even though 0x81FF < 0xFEFE as an integer."""
+        cmap = (
+            b"begincmap\n"
+            b"2 begincodespacerange <00> <7F> <8140> <FEFE> endcodespacerange\n"
+            b"endcmap"
+        )
+        tou = b"begincmap\n1 beginbfchar <41> <0041> endbfchar\nendcmap"
+        # 0x81 0xFF: NOT in the 2-byte range byte-wise and 0x81 is not
+        # in the 1-byte range -> error recovery consumes 1 byte (the
+        # shortest declared length), then 0xFF likewise, then 'A'
+        ln = _only_line(
+            _build(
+                _type0(cmap, tou, b"[]"),
+                b"BT /F1 24 Tf 72 700 Td (\x81\xffA) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"].endswith("A") and len(ln["text"]) == 3
+
+    def test_cidrange_without_codespace_still_keys_widths_by_cid(self):
+        """A sloppy CMap that omits codespacerange but declares
+        cidranges must still route width lookups through code→CID
+        (default 2-byte space)."""
+        cmap = b"begincmap\n1 begincidrange <0041> <0043> 100 endcidrange\nendcmap"
+        tou = b"begincmap\n1 beginbfrange <0041> <0043> <0058> endbfrange\nendcmap"
+        ln = _only_line(
+            _build(
+                _type0(cmap, tou, b"[100 [250 250 250]]"),
+                b"BT /F1 24 Tf 72 700 Td (\x00A\x00B\x00C) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "XYZ"
+        # CID widths 250/1000 em x 24pt x 3 glyphs; identity (code-keyed)
+        # lookup would miss and fall to DW 1000 -> 72pt
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(18.0, abs=1e-6)

@@ -58,7 +58,10 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize("name", sorted(Q.ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     got = Q.QUERIES[name](spark, SF_DIR).toPandas()
-    exp = ddb.execute(Q.ORACLES[name]).fetchdf()
+    sql = Q.ORACLES[name]() if callable(Q.ORACLES[name]) else Q.ORACLES[name]
+    if sql is None:
+        pytest.skip("oracle generator unavailable in this context")
+    exp = ddb.execute(sql).fetchdf()
     assert sorted(got.columns) == sorted(exp.columns), (
         f"{name} columns: spark={sorted(got.columns)} duckdb={sorted(exp.columns)}"
     )

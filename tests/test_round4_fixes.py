@@ -233,6 +233,17 @@ def test_write_result_append_adopts_legacy_layout(spark, tmp_path):
     eio.write_result(_mk(["w1", "w2"]), out2, n_buckets=4, mode="append")
     assert eio._committed_partition_layout(os.path.join(out2, "result")) == ["bucket", "ok"]
 
+    # non-local URIs (os.path can't stat them) go through Hadoop's
+    # FileSystem — file:// exercises that branch against the same dirs
+    assert eio._committed_partition_layout("file://" + table_dir, spark) == ["bucket"]
+    assert eio._committed_partition_layout(
+        "file://" + os.path.join(out2, "result"), spark
+    ) == ["bucket", "ok"]
+    assert (
+        eio._committed_partition_layout("file://" + str(tmp_path / "nope"), spark)
+        is None
+    )
+
 
 # -- 5. ceiling probe start-method guard -------------------------------------
 

@@ -63,6 +63,35 @@ class TestRecordIteration:
         recs = list(iter_warc_records(data[:-40]))
         assert len(recs) >= 4
 
+    def test_overstated_content_length_recovers_following_records(self):
+        """A Content-Length overshooting into the next record must not
+        swallow it: the lying record is truncated at the in-block
+        record boundary and the rest of the archive survives."""
+        rows = _rows(4)
+        recs = [corpus.rows_to_warc([r], member_gzip=False) for r in rows]
+        # inflate record 0's Content-Length so it overshoots into the
+        # middle of record 1's headers (a corrupted digit — unaligned;
+        # a lie landing EXACTLY on a record boundary is undetectable by
+        # any boundary heuristic and out of scope)
+        first = recs[0]
+        true_len = int(first.split(b"Content-Length: ")[1].split(b"\r\n")[0])
+        lied = first.replace(
+            b"Content-Length: %d" % true_len,
+            b"Content-Length: %d" % (true_len + 37),
+            1,
+        )
+        got = list(iter_warc_records(lied + b"".join(recs[1:])))
+        assert [h["warc-target-uri"] for h, _ in got] == [r["url"] for r in rows]
+        for (h, block), row in zip(got[1:], rows[1:]):
+            assert http_response_body(block) == row["html"]
+
+    def test_past_eof_content_length_drops_only_lying_record(self):
+        rows = _rows(3)
+        recs = [corpus.rows_to_warc([r], member_gzip=False) for r in rows]
+        lied = recs[0].replace(b"Content-Length: ", b"Content-Length: 9", 1)
+        got = list(iter_warc_records(lied + recs[1] + recs[2]))
+        assert [h["warc-target-uri"] for h, _ in got] == [r["url"] for r in rows[1:]]
+
     def test_bad_content_length_resyncs(self):
         good = corpus.rows_to_warc(_rows(3), member_gzip=False)
         bad = (
@@ -96,6 +125,20 @@ class TestHttpBody:
     def test_undecodable_gzip_returns_none(self):
         block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
         assert http_response_body(block) is None
+
+    def test_encoding_tokens_outside_their_headers_ignored(self):
+        """'gzip'/'chunked' appearing in OTHER headers (Content-Type:
+        application/x-gzip, Via: proxy (gzip)) must not trigger
+        decoding of an identity body."""
+        payload = b"\x1f\x8bnot really a member"  # gzip magic, raw body
+        block = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: application/x-gzip\r\n"
+            b"Via: 1.1 proxy (gzip)\r\n"
+            b"X-Note: response was chunked upstream\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload)
+        ) + payload
+        assert http_response_body(block) == payload
 
 
 class TestSparkSource:
