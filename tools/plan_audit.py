@@ -156,6 +156,18 @@ AUDITS = [
         "is an Iceberg scan), and NO exchange after parsing — the "
         "pipeline is shuffle-free per document.",
     ),
+    (
+        "outline_stats",
+        {"one_python_stage": lambda p, sp: _tree(p).count("MapInPandas") == 2,
+         "no_exchange": lambda p, sp: "Exchange" not in _tree(p),
+         "no_agg_or_window": lambda p, sp: "HashAggregate" not in _tree(p)
+         and "Window" not in _tree(p)},
+        "Flagship correctness row: full extraction (2 MapInPandas — "
+        "synthesis + pipeline), then every digest (from_json, level "
+        "counts via higher-order filters, md5 commitments) is a "
+        "per-row JVM projection: zero exchanges, zero aggregates — "
+        "one row per url in, one out.",
+    ),
 ]
 
 
