@@ -212,6 +212,41 @@ class TestEmbeddedCidCmap:
         assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(14.4, abs=1e-6)
 
 
+class TestSparkPipeline:
+    def test_exotic_fonts_through_extract_pages(self):
+        """Type3 and embedded-CMap PDFs must flow through the full
+        Spark pipeline (payload detect → parse → analyzer → JSON) as
+        parse_ok rows whose extracted text matches construction truth."""
+        from pdf_extractor_spark.operators.extract import extract_pages
+        from pdf_extractor_spark.session import get_spark
+
+        spark = get_spark("test_fonts", shuffle_partitions=4)
+        t3_pdf = _build(_t3_font(), b"BT /F1 24 Tf 72 700 Td (Heading Alpha) Tj ET", 5)
+        cmap = (
+            b"begincmap\n"
+            b"1 begincodespacerange <41> <5A> endcodespacerange\n"
+            b"1 begincidrange <41> <5A> 100 endcidrange\nendcmap"
+        )
+        tou = b"begincmap\n1 beginbfrange <41> <5A> <0041> endbfrange\nendcmap"
+        t0_pdf = _build(
+            _type0(cmap, tou, b"[100 [500]]"),
+            b"BT /F1 24 Tf 72 700 Td (CMAPTITLE) Tj ET",
+            8,
+        )
+        df = spark.createDataFrame(
+            [("u_t3", t3_pdf), ("u_t0", t0_pdf)], "url string, html binary"
+        )
+        rows = {
+            r["url"]: r
+            for r in extract_pages(df).select("url", "parse_ok", "outline_json").collect()
+        }
+        assert rows["u_t3"]["parse_ok"] and rows["u_t0"]["parse_ok"]
+        # Type3: Differences overrides A-C, the cp1252 base table
+        # covers the rest of the string; Type0: bfrange maps A..Z
+        assert "Heading Alpha" in rows["u_t3"]["outline_json"]
+        assert "CMAPTITLE" in rows["u_t0"]["outline_json"]
+
+
 class TestCidCmapParser:
     def test_parse_shapes(self):
         cs, chars, ranges = _parse_cid_cmap(
