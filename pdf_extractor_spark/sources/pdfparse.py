@@ -1519,9 +1519,15 @@ class ContentInterpreter:
                 elif op == b"Do" and stack:
                     self._do_xobject(stack[-1], res, ctm, depth)
                 elif op == b"BI":
-                    # inline image: skip to EI at a byte boundary
+                    # inline image: skip to EI at a byte boundary —
+                    # whitespace on BOTH sides (MuPDF's heuristic), or
+                    # raw image bytes that happen to contain b"EI "
+                    # would truncate the rest of the page's text
                     e = content.find(b"EI", lex.pos)
-                    while e >= 0 and e + 2 < n and content[e + 2] not in _WS:
+                    while e >= 0 and (
+                        (e + 2 < n and content[e + 2] not in _WS)
+                        or (e > 0 and content[e - 1] not in _WS)
+                    ):
                         e = content.find(b"EI", e + 2)
                     lex.pos = n if e < 0 else e + 2
             except (ValueError, TypeError):

@@ -247,6 +247,23 @@ class TestSparkPipeline:
         assert "CMAPTITLE" in rows["u_t0"]["outline_json"]
 
 
+class TestInlineImageSkip:
+    def test_ei_inside_image_bytes_does_not_truncate_page(self):
+        """Inline-image data containing b'EI ' mid-bytes must not end
+        the BI..EI skip early and swallow the text that follows."""
+        t3 = [(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"), (4, b"<< >>")]
+        content = (
+            b"BT /F1 24 Tf 72 700 Td (Before) Tj ET\n"
+            b"BI /W 4 /H 1 /BPC 8 /CS /G ID \x00EI \x01\xffzz EI\n"
+            b"BT /F1 24 Tf 72 600 Td (After) Tj ET"
+        )
+        pages = extract_spans(_build(t3, content, 5))
+        texts = [
+            sp["text"] for blk in pages[0]["blocks"] for ln in blk for sp in ln
+        ]
+        assert texts == ["Before", "After"]
+
+
 class TestCidCmapParser:
     def test_parse_shapes(self):
         cs, chars, ranges = _parse_cid_cmap(
