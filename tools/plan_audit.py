@@ -26,8 +26,11 @@ AUDITS = [
          "codegen": lambda p, sp: "*(" in sp,
          "pruned_scan": lambda p, sp: "l_comment" not in p},
         "Wide aggregate: map-side partial HashAggregate before the "
-        "shuffle, one exchange total, scan prunes to the 7 needed "
-        "columns (no l_comment).",
+        "agg exchange; the second exchange in the printed plan is "
+        "relational.load()'s small-scan repartition (gated to "
+        "single-split local inputs — it vanishes on a multi-split "
+        "production table, leaving one exchange). Scan prunes to the "
+        "7 needed columns (no l_comment).",
     ),
     (
         "tpch_q5_join_chain",
