@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
         "and isolate oversized documents (north rule OOM guard)",
     )
     ap.add_argument(
+        "--size-aware-target-bytes",
+        type=int,
+        default=64 << 20,
+        help="payload bytes per task the size-aware split aims for",
+    )
+    ap.add_argument(
+        "--size-aware-big-threshold",
+        type=int,
+        default=4 << 20,
+        help="docs above this route to the isolated oversized pool",
+    )
+    ap.add_argument(
         "--input-bucketed",
         action="store_true",
         help="input table is already partitioned by url-hash bucket "
@@ -100,8 +112,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.resume:
         pages = pio.filter_pending(pages, args.output)
+    size_aware_stats = None
     if args.size_aware:
-        pages = pio.size_aware_repartition(pages)
+        pages, size_aware_stats = pio.size_aware_repartition(
+            pages,
+            target_partition_bytes=args.size_aware_target_bytes,
+            big_threshold=args.size_aware_big_threshold,
+            return_stats=True,
+        )
 
     result = extract_pages(pages, keep_failed=True)
     stats = pio.write_result(
@@ -122,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_sec": round(elapsed, 2),
         **stats,
     }
+    if size_aware_stats:
+        summary["size_aware"] = size_aware_stats
     print(json.dumps(summary))
     return 0
 

@@ -325,11 +325,24 @@ def pdf_truth_stats(i: int, seed_base: int = 77_000) -> dict:
 _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
 
-def build_pages_row(i: int, seed: int = 42, html_fraction: float = 0.25) -> dict:
+def build_pages_row(
+    i: int,
+    seed: int = 42,
+    html_fraction: float = 0.25,
+    heavy_tail_every: int | None = None,
+    heavy_tail_factor: int = 60,
+) -> dict:
     """One deterministic pages-table row. Depends ONLY on (i, seed) —
     order-free, so synthesis distributes across executors with no
     driver bottleneck and corpus(N) is always a prefix of corpus(M>N)
-    (required for meaningful resume tests)."""
+    (required for meaningful resume tests).
+
+    ``heavy_tail_every`` (OPT-IN — the default corpus is unchanged so
+    accumulated scaling minima stay comparable) plants a deterministic
+    oversized-document slice: every ``heavy_tail_every``-th doc is a
+    valid spandoc ~``heavy_tail_factor``× the median page count — the
+    north rule's size-aware-repartition scenario (one giant must never
+    blow up the task that drew it)."""
     r = random.Random(seed * 1_000_003 + i)  # per-doc stream
     # host pool independent of n_docs; Zipf-ish skew: host0 is hot
     # (north rule's skewed-host scenario).
@@ -340,6 +353,14 @@ def build_pages_row(i: int, seed: int = 42, html_fraction: float = 0.25) -> dict
     if i % 41 == 7:  # deterministic ~2.4% corrupt slice (S4 path)
         payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
         lang = "und"
+    elif heavy_tail_every and i % heavy_tail_every == 3:
+        # giant but VALID document: K concatenated spandocs (page list
+        # append composes cleanly — the analyzer is page-order driven)
+        pages: list[dict] = []
+        for _ in range(heavy_tail_factor):
+            pages.extend(random_spandoc(r))
+        payload = spandoc_to_payload(pages)
+        lang = "en"
     elif roll < html_fraction:
         payload = random_html(r)
         lang = r.choice(["en", "de", "fr", "es"])
@@ -395,7 +416,13 @@ def build_pages_rows(n_docs: int, seed: int = 42, html_fraction: float = 0.25) -
     return rows
 
 
-def distributed_pages(spark, n_docs: int, seed: int = 42, html_fraction: float = 0.25):
+def distributed_pages(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    html_fraction: float = 0.25,
+    heavy_tail_every: int | None = None,
+):
     """pages DataFrame synthesized ON THE EXECUTORS (mapInPandas over
     spark.range) — no driver-side row building, so corpus generation
     scales with cores exactly like a real WARC scan would."""
@@ -403,7 +430,12 @@ def distributed_pages(spark, n_docs: int, seed: int = 42, html_fraction: float =
 
     def gen(batches):
         for pdf in batches:
-            rows = [build_pages_row(int(i), seed, html_fraction) for i in pdf["id"]]
+            rows = [
+                build_pages_row(
+                    int(i), seed, html_fraction, heavy_tail_every=heavy_tail_every
+                )
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows)
 
     n_parts = spark.sparkContext.defaultParallelism * 4  # even slices
@@ -419,6 +451,7 @@ def materialize_bucketed_corpus(
     seed: int = 42,
     n_buckets: int = 32,
     files_per_bucket: int = 4,
+    heavy_tail_every: int | None = None,
 ) -> None:
     """Write the synthetic pages table PARTITIONED BY url-hash bucket —
     the shape an Iceberg ingest with ``bucket(N, url)`` produces. Jobs
@@ -437,7 +470,7 @@ def materialize_bucketed_corpus(
 
     from .io import with_bucket
 
-    pages = distributed_pages(spark, n_docs, seed=seed)
+    pages = distributed_pages(spark, n_docs, seed=seed, heavy_tail_every=heavy_tail_every)
     salt = F.pmod(F.xxhash64("url", F.lit("file_salt")), F.lit(files_per_bucket))
     (
         with_bucket(pages, n_buckets)

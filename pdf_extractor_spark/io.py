@@ -386,7 +386,8 @@ def size_aware_repartition(
     target_partition_bytes: int = 64 << 20,
     big_threshold: int = 4 << 20,
     key_col: str = "url",
-) -> DataFrame:
+    return_stats: bool = False,
+) -> "DataFrame | tuple[DataFrame, dict]":
     """Size-aware repartitioning (north rule: no executor OOMs from
     oversized documents at 10^12-doc scale).
 
@@ -419,7 +420,44 @@ def size_aware_repartition(
     n_big = max(1, int(big_bytes // target_partition_bytes) + 1)
     small = df.filter(plen <= big_threshold).repartition(n_small, F.xxhash64(key_col))
     big = df.filter(plen > big_threshold).repartition(n_big, F.xxhash64(key_col))
-    return small.unionByName(big)
+    out = small.unionByName(big)
+    if return_stats:
+        return out, {
+            "small_bytes": int(small_bytes),
+            "big_bytes": int(big_bytes),
+            "n_small_partitions": n_small,
+            "n_big_partitions": n_big,
+            "target_partition_bytes": target_partition_bytes,
+            "big_threshold": big_threshold,
+        }
+    return out
+
+
+def partition_payload_stats(df: DataFrame, payload_col: str = "html") -> dict:
+    """Measure the ACTUAL per-task payload distribution of ``df``'s
+    current partitioning: one pass, two bytes-and-count aggregates
+    keyed by ``spark_partition_id()``.  This is the OOM-guard
+    evidence the north rule asks for — the bound a task's Arrow
+    stage must hold in memory is (payload bytes it was handed),
+    and this returns its max/mean alongside the largest single
+    document, so a test (or an audit run) can assert
+    ``max_partition_payload_bytes`` stays near the repartition
+    target instead of trusting the sizing arithmetic."""
+    plen = F.coalesce(F.length(payload_col).cast("long"), F.lit(0))
+    per = (
+        df.select(F.spark_partition_id().alias("pid"), plen.alias("b"))
+        .groupBy("pid")
+        .agg(F.sum("b").alias("bytes"), F.count("*").alias("rows"), F.max("b").alias("max_doc"))
+    )
+    rows = per.collect()  # bounded: one row per task
+    total = sum(r["bytes"] for r in rows) or 1
+    return {
+        "n_partitions": len(rows),
+        "max_partition_payload_bytes": max((r["bytes"] for r in rows), default=0),
+        "mean_partition_payload_bytes": int(total / max(1, len(rows))),
+        "max_doc_bytes": max((r["max_doc"] for r in rows), default=0),
+        "total_payload_bytes": int(total),
+    }
 
 
 def write_bucketed_table(

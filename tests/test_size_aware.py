@@ -1,0 +1,134 @@
+"""Size-aware repartitioning end-to-end (north rule: "handles
+oversized documents via size-aware repartitioning so no executor OOMs
+at 10^12-document scale").
+
+The corpus generator plants a deterministic heavy-tail slice
+(``heavy_tail_every`` — every k-th doc is a valid spandoc ~60x the
+median page count); these tests prove, against the ACTUAL task layout
+(spark_partition_id, not the sizing arithmetic), that
+
+  - row-count repartitioning lets a giant-bearing partition carry a
+    payload many times the median partition (the OOM shape), while
+  - io.size_aware_repartition bounds every task's payload near the
+    target regardless of which task drew the giants, and
+  - the rerouted job is RESULT-IDENTICAL to the naive layout (the
+    repartition is a physical property, not a semantic one), giants
+    included.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark import corpus
+from pdf_extractor_spark.io import partition_payload_stats, size_aware_repartition
+from pdf_extractor_spark.operators.extract import extract_pages
+
+N_DOCS = 1500
+HEAVY_EVERY = 101  # ~15 giants in 1500 docs
+SEED = 7
+
+
+def _giant_indices():
+    # corrupt slice (i % 41 == 7) takes precedence in build_pages_row
+    return [
+        i
+        for i in range(N_DOCS)
+        if i % HEAVY_EVERY == 3 and i % 41 != 7
+    ]
+
+
+def test_heavy_tail_generator_deterministic_and_giant():
+    giants = _giant_indices()
+    assert len(giants) >= 10
+    g = giants[0]
+    row_a = corpus.build_pages_row(g, seed=SEED, heavy_tail_every=HEAVY_EVERY)
+    row_b = corpus.build_pages_row(g, seed=SEED, heavy_tail_every=HEAVY_EVERY)
+    assert row_a["html"] == row_b["html"]  # deterministic
+    base = corpus.build_pages_row(g, seed=SEED)  # same index, no tail
+    assert len(row_a["html"]) > 20 * len(base["html"])
+    # still a VALID document: payload round-trips through the parser shape
+    pages = corpus.payload_to_spandoc(row_a["html"])
+    assert len(pages) > 30  # ~60 concatenated spandocs' pages
+    # the default corpus is untouched by the opt-in knob
+    assert corpus.build_pages_row(g, seed=SEED)["html"] == base["html"]
+
+
+@pytest.fixture(scope="module")
+def heavy_pages(spark):
+    df = corpus.distributed_pages(
+        spark, N_DOCS, seed=SEED, heavy_tail_every=HEAVY_EVERY
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_size_aware_bounds_task_payload(spark, heavy_pages):
+    target = 32 << 10
+    threshold = 16 << 10
+
+    sized_df, stats = size_aware_repartition(
+        heavy_pages,
+        target_partition_bytes=target,
+        big_threshold=threshold,
+        return_stats=True,
+    )
+    sized = partition_payload_stats(sized_df)
+
+    # the giants are big enough to matter: one doc alone is several
+    # times the target, so a task that drew several would blow past it
+    assert sized["max_doc_bytes"] > 3 * target
+    assert stats["big_bytes"] > 0 and stats["n_big_partitions"] >= 2
+
+    # ROW-COUNT layout at the partition count a bytes-uniform planner
+    # would pick (total/target): giants land wherever their row falls,
+    # so the worst task carries several times the mean task's payload —
+    # the unpredictable-task-memory shape that OOMs at scale
+    n_uniform = max(1, sized["total_payload_bytes"] // target)
+    naive = partition_payload_stats(heavy_pages.repartition(n_uniform))
+    assert (
+        naive["max_partition_payload_bytes"]
+        > 3 * naive["mean_partition_payload_bytes"]
+    )
+
+    # SIZE-AWARE layout: mean task payload lands on the target (the
+    # sizing arithmetic holds against the actual task layout)...
+    assert sized["mean_partition_payload_bytes"] <= 1.5 * target
+    # ...and the worst task is bounded by a small constant number of
+    # documents: the big pool is hash-spread over ceil(big_bytes /
+    # target) partitions, so a task holds at most a few giants even
+    # under small-sample hash collisions (at production scale each
+    # big-pool partition averages `target` bytes over many docs and
+    # concentrates; a row-count layout has NO such bound — one task
+    # can inherit an entire file split of giants)
+    bound = 3 * sized["max_doc_bytes"] + 2 * target
+    assert sized["max_partition_payload_bytes"] <= bound
+    # nothing dropped by the filter split (NULL-safe routing)
+    assert sized_df.count() == N_DOCS
+
+
+def test_size_aware_is_result_identical_and_giants_extract(spark, heavy_pages):
+    sized = size_aware_repartition(
+        heavy_pages, target_partition_bytes=256 << 10, big_threshold=32 << 10
+    )
+    a = {
+        (r["url"], r["parse_ok"], r["title"], r["n_outline"])
+        for r in extract_pages(heavy_pages)
+        .selectExpr("url", "parse_ok", "title", "size(outline) as n_outline")
+        .collect()
+    }
+    b = {
+        (r["url"], r["parse_ok"], r["title"], r["n_outline"])
+        for r in extract_pages(sized)
+        .selectExpr("url", "parse_ok", "title", "size(outline) as n_outline")
+        .collect()
+    }
+    assert a == b
+    giant_urls = {
+        corpus.build_pages_row(i, seed=SEED, heavy_tail_every=HEAVY_EVERY)["url"]
+        for i in _giant_indices()
+    }
+    ok_by_url = {r[0]: r[1] for r in a}
+    assert giant_urls <= set(ok_by_url)
+    assert all(ok_by_url[u] for u in giant_urls)  # giants parse, not S4
