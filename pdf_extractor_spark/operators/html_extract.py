@@ -32,16 +32,50 @@ _BLOCK_TAGS = frozenset(
 )
 _HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
 
-# small multilingual stopword seed (public knowledge); enough for a
-# prose-vs-boilerplate density signal
+# small multilingual stopword seed (public knowledge: the top function
+# words of each language); enough for a prose-vs-boilerplate density
+# signal.  Space-delimited non-Latin scripts (Arabic, Hebrew, Cyrillic,
+# Greek, Devanagari) need their own entries — English stopwords never
+# fire on them and the 120-char long-form gate under-covers their
+# shorter byte-dense paragraphs.
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was for on with as at by it this that "
     "le la les de et un une du des en est "
     "der die das und ein eine von zu im den "
-    "el la los las de y un una del en es".split()
+    "el la los las de y un una del en es "
+    "o os as do da em um uma para com não por que e "  # pt
+    "il lo di in un per con non che si "  # it
+    "het een van op voor met niet dat "  # nl
+    "och att det som på är av om "  # sv
+    "og i på det til af er han "  # da/no
+    "i w nie na się z że jest "  # pl
+    "ve bir bu için ile daha çok "  # tr
+    "yang dan di ke dari untuk dengan pada adalah "  # id/ms
+    "và của là có trong cho không được "  # vi
+    "في من على إلى عن أن مع هذا هذه التي الذي كان لا ما "  # ar
+    "של את על עם זה הוא היא גם כי לא אם אבל "  # he
+    "и в не на я с что это как по но из у за от так "  # ru
+    "και το να του η με για από τα που "  # el
+    "के की का में है और से पर यह भी "  # hi
+    .split()
 )
 
+# punctuation stripped before the stopword lookup — includes Arabic
+# comma/semicolon/question mark, guillemets, CJK-adjacent dashes
+_STRIP_CHARS = ".,;:!?\"'()«»،؛؟—–…"
+
 _WS_RX = re.compile(r"\s+")
+
+# space-free scripts (CJK ideographs, kana, Hangul, Thai): word-count
+# heuristics read a whole paragraph as "1 word", so prose gates switch
+# to character counts for blocks dominated by these ranges
+_NOSPACE_SCRIPT_RX = re.compile(
+    "[\u0e00-\u0e7f"  # Thai
+    "\u3040-\u30ff"  # Hiragana + Katakana
+    "\u3400-\u9fff"  # CJK ideographs (ext A + unified)
+    "\uac00-\ud7af"  # Hangul syllables
+    "\uf900-\ufaff]"  # CJK compatibility ideographs
+)
 
 # HTML5 void elements: they emit no end tag, so they must never enter
 # the open-element stack (an <hr> that "never closes" is not unclosed)
@@ -182,20 +216,66 @@ def _is_content(block: dict) -> bool:
     text = block["text"]
     total = max(block["total_chars"], 1)
     link_density = block["link_chars"] / total
+    if link_density > 0.5:
+        return False
+    nospace = len(_NOSPACE_SCRIPT_RX.findall(text))
+    if nospace / max(len(text), 1) > 0.3:
+        # CJK/Thai prose: one char carries ~2-3x a Latin char's
+        # information and stopword lists don't transfer, so the gate
+        # is a character count (jusText/trafilatura use language-aware
+        # thresholds the same way); nav items ("首页") stay short and
+        # are still dropped
+        return nospace >= 20
     words = text.split()
     if len(words) < 4:
         return False
-    if link_density > 0.5:
-        return False
-    stop = sum(1 for w in words if w.lower().strip(".,;:!?\"'()") in _STOPWORDS)
+    stop = sum(1 for w in words if w.lower().strip(_STRIP_CHARS) in _STOPWORDS)
     stop_density = stop / len(words)
     # prose either has stopwords or is long-form text
     return stop_density >= 0.05 or len(text) >= 120
 
 
+_CHARSET_RX = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.-]+)", re.I)
+
+
+def _decode(payload: bytes) -> str:
+    """WHATWG-style best-effort decode for crawled pages:
+
+    1. UTF-8 BOM wins;
+    2. strict UTF-8 if it round-trips (the common case — never
+       penalized by sniffing);
+    3. a ``charset=`` declaration in the first 4 KiB (meta tag or
+       http-equiv; latin-1/iso-8859-1 is aliased to windows-1252 per
+       the WHATWG encoding standard);
+    4. else UTF-8-with-replacement when the damage is sparse
+       (<1% replacement chars: a UTF-8 page with stray bytes), else
+       windows-1252 (the web's de-facto legacy fallback, total —
+       every byte decodes).
+    """
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RX.search(payload[:4096])
+    if m:
+        name = m.group(1).decode("ascii", "replace").strip().lower()
+        if name in ("latin-1", "latin1", "iso-8859-1", "iso8859-1", "us-ascii"):
+            name = "cp1252"
+        try:
+            return payload.decode(name, errors="replace")
+        except LookupError:
+            pass
+    text = payload.decode("utf-8", errors="replace")
+    if text.count("�") / max(len(text), 1) < 0.01:
+        return text
+    return payload.decode("cp1252", errors="replace")
+
+
 def extract_html(payload: bytes) -> dict:
     """payload bytes → {title, main_text, outline, n_kept, n_dropped}."""
-    text = payload.decode("utf-8", errors="replace")
+    text = _decode(payload)
     parser = _Extractor()
     parser.feed(text)
     parser._flush()
