@@ -171,6 +171,16 @@ def write_result(
                     "payload_bytes": int(m.get(f"bytes_{b}") or 0),
                 }
             )
+        manifest_path = os.path.join(out_dir, "_lineage", "manifest.json")
+        if mode == "append" and not os.path.exists(manifest_path):
+            # recovery: appending into a table whose manifest is gone
+            # (job killed between the write commit and the manifest
+            # write). Observe metrics cover only THIS run's rows;
+            # merging them into nothing would publish a manifest that
+            # undercounts the committed table. Rebuild cumulative
+            # truth from the snapshot once — the rescan cost is paid
+            # only on this rare recovery path, never per-trigger.
+            return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
         return _write_manifest(
             out_dir, n_buckets, lineage_rows, t_write0, t_write1,
             merge_previous=(mode == "append"),
