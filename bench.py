@@ -156,6 +156,35 @@ def contract_mode() -> None:
             "lang_id",
         )
     ]
+    # Min-accumulating protocol (round-3 verdict #3): a single session
+    # sits inside a 3-7x co-tenant noise band, so round-over-round
+    # comparisons of one-shot numbers are unfalsifiable.  Keep the
+    # per-query MINIMUM across sessions in BENCH/headline_state.json
+    # (the same cross-epoch estimator the scaling protocol uses — the
+    # min over sessions of a deterministic job converges to its quiet-
+    # state cost).  A regression is then decidable: a query whose
+    # fresh sample exceeds its converged floor by more than the noise
+    # band, across several sessions, moved; everything else is storm.
+    state_path = _REPO / "BENCH" / "headline_state.json"
+    state: dict = {"queries": {}, "sessions": 0}
+    if state_path.exists():
+        try:
+            state = json.loads(state_path.read_text())
+        except Exception:
+            pass
+    if state.get("sf") not in (None, sf) or state.get("cores") not in (None, cpus):
+        state = {"queries": {}, "sessions": 0}
+    state["sf"], state["cores"] = sf, cpus
+    state["sessions"] = int(state.get("sessions", 0)) + 1
+    acc = state["queries"]
+    for q, t in res["queries"].items():
+        ent = acc.setdefault(q, {"min": t, "n": 0})
+        ent["min"] = round(min(float(ent["min"]), t), 4)
+        ent["n"] += 1
+    state_path.parent.mkdir(exist_ok=True)
+    state_path.write_text(json.dumps(state, indent=1))
+
+    acc_current = {q: acc[q] for q in HEADLINE if q in acc}
     out = {
         "metric": "headline_suite_wall_clock",
         "value": res["total_sec"],
@@ -169,6 +198,15 @@ def contract_mode() -> None:
             "cross_round_stable_15q_sec": round(
                 sum(res["queries"][q] for q in stable_set), 3
             ),
+            # accumulated minima (quiet-state floors) + sample counts
+            "accumulated_min": acc_current,
+            "accumulated_min_total_sec": round(
+                sum(e["min"] for e in acc_current.values()), 3
+            ),
+            "accumulated_min_stable_15q_sec": round(
+                sum(acc[q]["min"] for q in stable_set if q in acc), 3
+            ),
+            "accumulated_sessions": state["sessions"],
         },
     }
     print(json.dumps(out))
