@@ -353,7 +353,7 @@ def build_pages_row(
     if i % 41 == 7:  # deterministic ~2.4% corrupt slice (S4 path)
         payload = b"GARBAGE" + bytes(r.getrandbits(8) for _ in range(64))
         lang = "und"
-    elif heavy_tail_every and i % heavy_tail_every == 3:
+    elif heavy_tail_every and i % heavy_tail_every == min(3, heavy_tail_every - 1):
         # giant but VALID document: K concatenated spandocs (page list
         # append composes cleanly — the analyzer is page-order driven)
         pages: list[dict] = []

@@ -125,6 +125,22 @@ def write_result(
         # uniform); failure triage falls back to the parse_ok predicate
         part_cols = ["bucket"]
         bucketed = bucketed.drop("ok")
+    rebuild_manifest = use_observe and mode == "append" and _manifest_is_stale(
+        out_dir, table_dir, result.sparkSession
+    )
+    if use_observe and rebuild_manifest:
+        # Recovery: appending into a table whose manifest is missing OR
+        # stale — a job killed between the data commit and the manifest
+        # write leaves committed rows the manifest never counted, and
+        # merging observe metrics into that manifest would publish an
+        # undercount forever. The cumulative truth must be rebuilt from
+        # the committed snapshot; skip the observe metrics entirely
+        # (they would be computed during the write and then discarded).
+        to_write = (
+            bucketed if input_bucketed else bucketed.repartition(n_buckets, "bucket")
+        )
+        to_write.write.mode(mode).partitionBy(*part_cols).parquet(table_dir)
+        return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
     if use_observe:
         # Lineage via df.observe: the metrics ride the write itself —
         # ZERO extra IO. At 100 TB the alternative (re-scanning the
@@ -171,16 +187,6 @@ def write_result(
                     "payload_bytes": int(m.get(f"bytes_{b}") or 0),
                 }
             )
-        manifest_path = os.path.join(out_dir, "_lineage", "manifest.json")
-        if mode == "append" and not os.path.exists(manifest_path):
-            # recovery: appending into a table whose manifest is gone
-            # (job killed between the write commit and the manifest
-            # write). Observe metrics cover only THIS run's rows;
-            # merging them into nothing would publish a manifest that
-            # undercounts the committed table. Rebuild cumulative
-            # truth from the snapshot once — the rescan cost is paid
-            # only on this rare recovery path, never per-trigger.
-            return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
         return _write_manifest(
             out_dir, n_buckets, lineage_rows, t_write0, t_write1,
             merge_previous=(mode == "append"),
@@ -202,6 +208,27 @@ def write_result(
         .parquet(table_dir)
     )
     return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
+
+
+def _manifest_is_stale(out_dir: str, table_dir: str, spark: SparkSession) -> bool:
+    """True when the lineage manifest does not describe the committed
+    table — either it is missing, unreadable, or its cumulative
+    ``rows_in`` disagrees with the committed row count (a job killed
+    between the data commit and the manifest write leaves exactly this
+    state; so does an overwrite killed before its manifest over a
+    pre-existing table).  The count() is parquet-footer metadata, not
+    a data scan, so the check is cheap enough to run on every append."""
+    manifest_path = os.path.join(out_dir, "_lineage", "manifest.json")
+    try:
+        with open(manifest_path, encoding="utf-8") as f:
+            recorded = int(json.load(f)["totals"]["rows_in"])
+    except Exception:
+        return True  # missing or unreadable: rebuild
+    try:
+        committed = spark.read.parquet(table_dir).count()
+    except Exception:
+        return False  # nothing committed yet: nothing to be stale about
+    return committed != recorded
 
 
 def _finish_lineage(

@@ -219,13 +219,16 @@ def _is_content(block: dict) -> bool:
     if link_density > 0.5:
         return False
     nospace = len(_NOSPACE_SCRIPT_RX.findall(text))
-    if nospace / max(len(text), 1) > 0.3:
+    if nospace >= 20:
         # CJK/Thai prose: one char carries ~2-3x a Latin char's
         # information and stopword lists don't transfer, so the gate
         # is a character count (jusText/trafilatura use language-aware
-        # thresholds the same way); nav items ("首页") stay short and
-        # are still dropped
-        return nospace >= 20
+        # thresholds the same way). Short space-free runs fall THROUGH
+        # to the word gates rather than vetoing: a bilingual block
+        # ("こんにちは… and more is here") keeps its Latin-prose
+        # verdict, while pure-CJK nav items ("首页") still fail the
+        # ≥4-words gate below.
+        return True
     words = text.split()
     if len(words) < 4:
         return False
@@ -263,10 +266,14 @@ def _decode(payload: bytes) -> str:
         name = m.group(1).decode("ascii", "replace").strip().lower()
         if name in ("latin-1", "latin1", "iso-8859-1", "iso8859-1", "us-ascii"):
             name = "cp1252"
-        try:
-            return payload.decode(name, errors="replace")
-        except LookupError:
-            pass
+        if name not in ("utf-8", "utf8"):
+            # a declared utf-8 is a lie here (strict utf-8 already
+            # failed) — fall through to the damage heuristic instead
+            # of mojibaking the whole page with replacement chars
+            try:
+                return payload.decode(name, errors="replace")
+            except LookupError:
+                pass
     text = payload.decode("utf-8", errors="replace")
     if text.count("�") / max(len(text), 1) < 0.01:
         return text

@@ -123,6 +123,11 @@ def test_encoding_sniffing():
     assert "кодировки" in _text("cp1251_russian")
     # BOM stripped, never rendered
     assert "﻿" not in _text("bom_page")
+    # a LYING charset=utf-8 declaration (bytes are cp1252) is ignored —
+    # the damage heuristic routes to cp1252 and the accents survive
+    assert "café" in _text("declared_utf8_lie")
+    assert "crème brûlée" in _text("declared_utf8_lie")
+    assert "�" not in _text("declared_utf8_lie")
 
 
 def test_rtl_and_nonlatin_prose_kept():
@@ -136,6 +141,9 @@ def test_rtl_and_nonlatin_prose_kept():
     # …but space-free nav/linkfarms still drop
     assert "分类7" not in _text("cjk_linkfarm")
     assert "首页" not in _text("cjk_article")
+    # short CJK runs inside Latin prose fall through to the word gates
+    # instead of vetoing the block
+    assert "こんにちは世界のニュースです" in _text("bilingual_short_cjk")
 
 
 def test_damage_is_contained():

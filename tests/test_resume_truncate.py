@@ -100,6 +100,43 @@ def test_truncate_resume_rebuilds_byte_identical_table(spark, tmp_path, lineage)
     assert n == nd == N_DOCS
 
 
+def test_stale_manifest_detected_and_rebuilt(spark, tmp_path):
+    """Kill window the truncate test can't reach: run B's DATA commit
+    succeeded but its manifest write didn't, so the manifest on disk is
+    run A's — present, readable, and WRONG. The next append must detect
+    the rows_in/committed-count mismatch and rebuild from the snapshot
+    instead of merging into the stale counts."""
+    out = str(tmp_path / "stale")
+    full = str(tmp_path / "stale_full")
+    _run_full(spark, full, lineage="observe")
+
+    # run A: first half (corpus(N/2) is a prefix of corpus(N))
+    half = corpus.distributed_pages(spark, N_DOCS // 2, seed=SEED)
+    write_result(extract_pages(half), out, n_buckets=N_BUCKETS, lineage="observe")
+    manifest_path = Path(out, "_lineage", "manifest.json")
+    run_a_manifest = manifest_path.read_text()
+
+    # run B: append the rest, then simulate death-before-manifest by
+    # restoring run A's manifest over run B's
+    pending = filter_pending(_pages(spark), out)
+    write_result(
+        extract_pages(pending), out,
+        n_buckets=N_BUCKETS, mode="append", lineage="observe",
+    )
+    manifest_path.write_text(run_a_manifest)
+
+    # run C: nothing left to process; the empty append must still
+    # notice the stale manifest and publish cumulative truth
+    none_left = filter_pending(_pages(spark), out)
+    assert none_left.count() == 0
+    write_result(
+        extract_pages(none_left), out,
+        n_buckets=N_BUCKETS, mode="append", lineage="observe",
+    )
+    assert _manifest(out) == _manifest(full)
+    assert _table_rows(spark, out) == _table_rows(spark, full)
+
+
 def test_second_resume_is_a_noop(spark, tmp_path):
     out_dir = str(tmp_path / "noop")
     _run_full(spark, out_dir)

@@ -54,6 +54,16 @@ def test_heavy_tail_generator_deterministic_and_giant():
     assert corpus.build_pages_row(g, seed=SEED)["html"] == base["html"]
 
 
+def test_dense_heavy_tail_still_plants_giants():
+    """heavy_tail_every <= 3 must still produce giants (the fixed
+    offset 3 would be unreachable under mod 2)."""
+    rows = [
+        corpus.build_pages_row(i, seed=SEED, heavy_tail_every=2) for i in range(20)
+    ]
+    sizes = sorted(len(r["html"]) for r in rows)
+    assert sizes[-1] > 20 * sizes[0]  # giants present
+
+
 @pytest.fixture(scope="module")
 def heavy_pages(spark):
     df = corpus.distributed_pages(

@@ -298,6 +298,26 @@ def build_fixtures() -> dict[str, bytes]:
         + f"</div><p>{zh}</p></body></html>"
     ).encode()
 
+    # bilingual block: a short CJK run mixed with enough Latin prose —
+    # the CJK char-count gate must fall through to the word gates, not
+    # veto (review finding: `return nospace >= 20` dropped these)
+    f["bilingual_short_cjk"] = (
+        "<html><head><title>Bilingual</title></head><body>"
+        "<p>こんにちは世界のニュースです and the rest of this sentence is "
+        "ordinary English prose that must be kept.</p></body></html>"
+    ).encode()
+
+    # declared charset lies: bytes are cp1252 but the page claims utf-8
+    # (common misconfiguration) — the sniffer must ignore the lying
+    # declaration (strict utf-8 already failed) and fall through to the
+    # damage heuristic instead of mojibaking the whole page
+    f["declared_utf8_lie"] = (
+        '<html><head><meta charset="utf-8"><title>Declared lie</title></head>'
+        "<body><p>The caf\xe9 on the corner serves cr\xe8me br\xfbl\xe9e and "
+        "the regulars agree that it is worth the wait on a busy morning."
+        "</p></body></html>"
+    ).encode("cp1252")
+
     # ---- semantics tags -------------------------------------------------
     f["main_article_semantics"] = f"""<html><head><title>Semantic page</title></head><body>
 <header><h1>Site Banner Brand</h1><nav>{_nav_links(["One", "Two"])}</nav></header>
