@@ -484,16 +484,24 @@ def partition_payload_stats(df: DataFrame, payload_col: str = "html") -> dict:
     per = (
         df.select(F.spark_partition_id().alias("pid"), plen.alias("b"))
         .groupBy("pid")
-        .agg(F.sum("b").alias("bytes"), F.count("*").alias("rows"), F.max("b").alias("max_doc"))
+        .agg(F.sum("b").alias("bytes"), F.max("b").alias("max_doc"))
     )
-    rows = per.collect()  # bounded: one row per task
-    total = sum(r["bytes"] for r in rows) or 1
+    # second-level aggregate stays distributed: the driver receives ONE
+    # row even when the table has millions of partitions at 100 TB
+    summary = per.agg(
+        F.count("*").alias("n"),
+        F.max("bytes").alias("max_bytes"),
+        F.sum("bytes").alias("total"),
+        F.max("max_doc").alias("max_doc"),
+    ).first()
+    n = summary["n"] or 0
+    total = int(summary["total"] or 0)
     return {
-        "n_partitions": len(rows),
-        "max_partition_payload_bytes": max((r["bytes"] for r in rows), default=0),
-        "mean_partition_payload_bytes": int(total / max(1, len(rows))),
-        "max_doc_bytes": max((r["max_doc"] for r in rows), default=0),
-        "total_payload_bytes": int(total),
+        "n_partitions": n,
+        "max_partition_payload_bytes": int(summary["max_bytes"] or 0),
+        "mean_partition_payload_bytes": int(total / n) if n else 0,
+        "max_doc_bytes": int(summary["max_doc"] or 0),
+        "total_payload_bytes": total,
     }
 
 
