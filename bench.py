@@ -536,12 +536,27 @@ def scaling_mode() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     seed = 42
 
+    # The north rule's two-cluster-size criterion asks for N vs 4N.
+    # Default pair is 8→32 (the full host); SPARK_GRAFT_SCALING_PAIR
+    # ("2,8") runs the identical protocol at a pair where the host is
+    # NOT memory-bandwidth-saturated, so the raw (un-normalized)
+    # number is meaningful — each pair accumulates in its own state
+    # file so the long 8→32 floor history is untouched.
+    pair_env = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+    n_low, n_high = (int(x) for x in pair_env.split(","))
+    if n_high != 4 * n_low:
+        raise SystemExit(f"SPARK_GRAFT_SCALING_PAIR must be N,4N (got {pair_env})")
+    default_pair = (n_low, n_high) == (8, 32)
+
     # Best-observed results accumulate across invocations: this host
     # shows multi-minute co-tenant storms (the same job varies 3-7x),
     # so a single run is a lottery. The min across all observed rounds
     # is the standard steady-state estimator for a deterministic job;
     # total_rounds is reported so the protocol is transparent.
-    state_path = _REPO / "BENCH" / "scaling_state.json"
+    state_name = (
+        "scaling_state.json" if default_pair else f"scaling_state_{n_low}_{n_high}.json"
+    )
+    state_path = _REPO / "BENCH" / state_name
     state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     if state_path.exists():
         state = json.loads(state_path.read_text())
@@ -574,8 +589,8 @@ def scaling_mode() -> None:
     e2e_only = os.environ.get("SPARK_GRAFT_SCALING_E2E_ONLY") == "1"
     session_probe = None
     if not e2e_only:
-        print("measuring host 8->32 ceiling (mp.Pool probe)...", file=sys.stderr)
-        session_probe, probe_lo, probe_hi = _hardware_ceiling()
+        print(f"measuring host {n_low}->{n_high} ceiling (mp.Pool probe)...", file=sys.stderr)
+        session_probe, probe_lo, probe_hi = _hardware_ceiling(n_low, n_high)
         # keep every per-session reading, not just the max, so the
         # estimator's distribution is auditable (co-tenant windows vary)
         state.setdefault("ceiling_probe_log", []).append(
@@ -592,10 +607,12 @@ def scaling_mode() -> None:
         state["ceiling_lo"] = max(probe_lo, float(state.get("ceiling_lo", 0.0)))
         state["ceiling_hi"] = max(probe_hi, float(state.get("ceiling_hi", 0.0)))
         print("running independent (non-repo) ceiling probes...", file=sys.stderr)
-        xcheck_summary = _xcheck_accumulate(state, independent_ceiling_xcheck())
+        xcheck_summary = _xcheck_accumulate(
+            state, independent_ceiling_xcheck(n_low, n_high), n_low, n_high
+        )
     else:
         # summarize previously-accumulated cross-check readings
-        xcheck_summary = _xcheck_accumulate(state, {})
+        xcheck_summary = _xcheck_accumulate(state, {}, n_low, n_high)
 
     # Cross-epoch normalization ceiling. The old estimator —
     # max-accumulated per-session RATIO — is upward-biased under
@@ -614,17 +631,27 @@ def scaling_mode() -> None:
         ceiling = float(state.get("ceiling", 0.0))
     print(f"host ceiling (cross-epoch quiet-state): {ceiling:.3f}", file=sys.stderr)
 
-    corpus_dir = "/dev/shm/bench_scaling_corpus"
+    corpus_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_CORPUS_DIR", "/dev/shm/bench_scaling_corpus"
+    )
     zip_path = _build_zip()
     from pdf_extractor_spark import corpus as corpus_mod
     from pdf_extractor_spark.session import get_spark
 
-    if not (Path(corpus_dir) / "_SUCCESS").exists() or state["total_rounds"] == 0:
+    # the (n_docs, seed) marker guards against silently timing a
+    # corpus left behind by a different-sized invocation of this mode
+    meta_path = Path(corpus_dir) / "_corpus_meta.json"
+    meta_ok = (
+        meta_path.exists()
+        and json.loads(meta_path.read_text()) == {"n_docs": n_docs, "seed": seed}
+    )
+    if not (Path(corpus_dir) / "_SUCCESS").exists() or not meta_ok:
         # bucketed (Iceberg-ingest shape): the timed job is then
         # shuffle-free end to end — see io.write_result(input_bucketed)
         spark = get_spark("bench_corpus", master="local[32]")
         corpus_mod.materialize_bucketed_corpus(spark, n_docs, corpus_dir, seed=seed)
         spark.stop()
+        meta_path.write_text(json.dumps({"n_docs": n_docs, "seed": seed}))
 
     # compute-stage measurement: scan → extract → count (no sink), the
     # pipeline the north rule's throughput metric describes
@@ -634,7 +661,7 @@ def scaling_mode() -> None:
     from pdf_extractor_spark.operators.extract import extract_pages
 
     for rnd in range(0 if e2e_only else rounds):
-        for cores in (8, 32):
+        for cores in (n_low, n_high):
             act = SparkSession.getActiveSession()
             if act:
                 act.stop()
@@ -650,7 +677,7 @@ def scaling_mode() -> None:
     best: dict[int, dict] = {int(k): v for k, v in state["best_runs"].items()}
     inv: dict[int, float] = {}
     for rnd in range(rounds):
-        for cores in (8, 32):
+        for cores in (n_low, n_high):
             r = _submit_once(cores, corpus_dir, f"/dev/shm/bench_out_{cores}", zip_path)
             print(f"round{rnd} e2e local[{cores}]: {r['elapsed_sec']}s", file=sys.stderr)
             inv[cores] = min(inv.get(cores, 1e18), r["elapsed_sec"])
@@ -664,12 +691,12 @@ def scaling_mode() -> None:
     # draws. The honest same-invocation summary is the QUIET subset
     # (both levels within 15% of the accumulated floors), which the md
     # writer reports as a consistency check on the cross-epoch row.
-    if 8 in inv and 32 in inv:
+    if n_low in inv and n_high in inv:
         state.setdefault("invocations", []).append(
             {
-                "t8": inv[8],
-                "t32": inv[32],
-                "eff": round(inv[8] / (4 * inv[32]), 3),
+                f"t{n_low}": inv[n_low],
+                f"t{n_high}": inv[n_high],
+                "eff": round(inv[n_low] / (4 * inv[n_high]), 3),
                 # the session's OWN probe reading (None when the probe
                 # was skipped): the same-invocation row must pair a
                 # session's Spark eff with that session's probe, not
@@ -695,18 +722,24 @@ def scaling_mode() -> None:
             "rows_out": r["rows_out"],
             "parse_failures": r["parse_failures"],
         }
-    eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
-    eff_c = compute_best[8] / (4 * compute_best[32])
+    klo, khi = f"t{n_low}", f"t{n_high}"
+    eff = results[n_high]["docs_per_sec"] / (4 * results[n_low]["docs_per_sec"])
+    eff_c = compute_best[n_low] / (4 * compute_best[n_high])
     out = {
-        "protocol": "spark-submit --py-files, local[8] vs local[32], same committed input",
+        "protocol": (
+            f"spark-submit --py-files, local[{n_low}] vs local[{n_high}], "
+            "same committed input"
+        ),
         "n_docs": n_docs,
         "seed": seed,
+        "n_low": n_low,
+        "n_high": n_high,
         "rounds": state["total_rounds"],
-        "local8": results[8],
-        "local32": results[32],
+        f"local{n_low}": results[n_low],
+        f"local{n_high}": results[n_high],
         "scaling_efficiency_raw": round(eff, 3),
         "compute_stage_efficiency_raw": round(eff_c, 3),
-        "host_ceiling_8_to_32": round(ceiling, 3),
+        f"host_ceiling_{n_low}_to_{n_high}": round(ceiling, 3),
         "scaling_efficiency_normalized": round(eff / ceiling, 3) if ceiling else None,
         "compute_stage_efficiency_normalized": round(eff_c / ceiling, 3) if ceiling else None,
         "best_invocation": max(
@@ -726,13 +759,13 @@ def scaling_mode() -> None:
         "quiet_pair_effs": sorted(
             i["eff"]
             for i in state.get("invocations", [])
-            if i["t8"] <= 1.15 * best[8]["elapsed_sec"]
-            and i["t32"] <= 1.15 * best[32]["elapsed_sec"]
+            if i[klo] <= 1.15 * best[n_low]["elapsed_sec"]
+            and i[khi] <= 1.15 * best[n_high]["elapsed_sec"]
         ),
         "best_pair_t8_vs_floor": (
             round(
-                max(state.get("invocations", []), key=lambda i: i["eff"])["t8"]
-                / best[8]["elapsed_sec"],
+                max(state.get("invocations", []), key=lambda i: i["eff"])[klo]
+                / best[n_low]["elapsed_sec"],
                 2,
             )
             if state.get("invocations")
@@ -747,7 +780,68 @@ def scaling_mode() -> None:
         "target": 0.8,
     }
     print(json.dumps(out, indent=2))
-    _write_scaling_md(out)
+    if default_pair:
+        _write_scaling_md(out)
+    else:
+        _write_small_pair_md(out)
+
+
+def _write_small_pair_md(out: dict) -> None:
+    """Evidence file for a non-default N→4N pair (e.g. 2→8): the same
+    production job + protocol as BENCH/BASELINE.md, at a pair where
+    the host is not bandwidth-saturated, so the RAW number speaks."""
+    lo, hi = out["n_low"], out["n_high"]
+    rlo, rhi = out[f"local{lo}"], out[f"local{hi}"]
+    eff = out["scaling_efficiency_raw"]
+    eff_c = out["compute_stage_efficiency_raw"]
+    ceil = out[f"host_ceiling_{lo}_to_{hi}"]
+    norm = out["scaling_efficiency_normalized"]
+    norm_c = out["compute_stage_efficiency_normalized"]
+    xck = {
+        k: v
+        for k, v in (out.get("independent_ceiling_xcheck") or {}).items()
+        if v.get("ratio")
+    }
+    xrows = "\n".join(
+        f"| {name} | {r['ratio']} | {r['sessions']} |" for name, r in xck.items()
+    )
+    md = f"""# BENCH/SCALING_{lo}_{hi} — raw N→4N evidence at an unsaturated pair
+
+The 8→32 protocol (BENCH/BASELINE.md) is bandwidth-limited by the
+HOST: 32 co-resident processes of ANY full-pipeline program share one
+socket's memory bandwidth, so its raw number must be read against a
+measured host ceiling. This file runs the IDENTICAL production job
+and protocol (spark-submit --py-files, same committed {out["n_docs"]}-doc
+bucketed corpus, interleaved min-accumulated rounds, tmpfs sink) at
+local[{lo}] vs local[{hi}] — an N→4N pair small enough that the host
+can actually deliver ~4x, so the RAW efficiency is directly
+meaningful under the north rule's two-cluster-size criterion.
+
+| config | e2e elapsed (s) | e2e docs/sec | compute-stage (s) | rows out |
+|---|---|---|---|---|
+| local[{lo}] (N) | {rlo["elapsed_sec"]} | {rlo["docs_per_sec"]} | {rlo["compute_stage_sec"]} | {rlo["rows_out"]} |
+| local[{hi}] (4N) | {rhi["elapsed_sec"]} | {rhi["docs_per_sec"]} | {rhi["compute_stage_sec"]} | {rhi["rows_out"]} |
+
+| metric | raw | host ceiling ({lo}→{hi}) | normalized | verdict (raw ≥ 0.8) |
+|---|---|---|---|---|
+| compute stage | {eff_c} | {ceil} | {norm_c} | {"PASS" if eff_c >= 0.8 else "FAIL"} |
+| end-to-end job | {eff} | {ceil} | {norm} | {"PASS" if eff >= 0.8 else "FAIL"} |
+
+Accumulated over {out["rounds"]} interleaved rounds,
+{out["n_invocations"]} same-invocation pairs (quiet-pair effs:
+{out["quiet_pair_effs"]}; best pair: {out["best_invocation"]}).
+Host mp.Pool ceiling at this pair and independent non-repo probes
+(cross-epoch quiet-state ratios):
+
+| probe | {lo}→{hi} ratio | sessions |
+|---|---|---|
+{xrows}
+
+State: BENCH/scaling_state_{lo}_{hi}.json.
+Reproduce: `SPARK_GRAFT_SCALING_PAIR={lo},{hi} python bench.py --scaling`.
+"""
+    (_REPO / "BENCH" / f"SCALING_{lo}_{hi}.md").write_text(md, encoding="utf-8")
+    print(f"wrote BENCH/SCALING_{lo}_{hi}.md", file=sys.stderr)
 
 
 def _write_scaling_md(out: dict) -> None:
@@ -955,6 +1049,18 @@ Reproduce: `python bench.py --scaling`
 (SPARK_GRAFT_SCALING_DOCS, default {out["n_docs"]};
 SPARK_GRAFT_SCALING_ROUNDS, default {out["rounds"]}).
 """
+    small = sorted(p.name for p in bench_dir.glob("SCALING_*_*.md"))
+    if small:
+        md += (
+            "\n### Raw N→4N evidence at an unsaturated pair\n\n"
+            "The pair above saturates the HOST (32 co-resident processes "
+            "share one socket), which is why its gate reads the normalized "
+            "column. The identical job + protocol also runs at a smaller "
+            "N→4N pair where the host can deliver ~4x, making the RAW "
+            "number directly meaningful: see "
+            + ", ".join(f"`BENCH/{n}`" for n in small)
+            + ".\n"
+        )
     (bench_dir / "BASELINE.md").write_text(md, encoding="utf-8")
     print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
 

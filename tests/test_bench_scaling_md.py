@@ -127,3 +127,62 @@ def test_phase_estimator_rejects_storm_ratio():
     consistent = hi / (4 * lo)
     assert abs(consistent - quiet["ratio"]) < 1e-3  # quiet phases win
     assert consistent < max(quiet["ratio"], storm["ratio"])  # not storm-dragged
+
+
+def _small_out():
+    run = {
+        "elapsed_sec": 160.0,
+        "docs_per_sec": 3000.0,
+        "payload_mb_per_sec": 5.0,
+        "compute_stage_sec": 155.0,
+        "compute_docs_per_sec": 3096.8,
+        "rows_out": 468292,
+        "parse_failures": 11708,
+    }
+    return {
+        "n_low": 2,
+        "n_high": 8,
+        "local2": run,
+        "local8": dict(run, elapsed_sec=47.0, compute_stage_sec=42.0),
+        "scaling_efficiency_raw": 0.851,
+        "compute_stage_efficiency_raw": 0.923,
+        "host_ceiling_2_to_8": 0.93,
+        "scaling_efficiency_normalized": 0.915,
+        "compute_stage_efficiency_normalized": 0.992,
+        "n_docs": 480000,
+        "seed": 42,
+        "rounds": 3,
+        "n_invocations": 3,
+        "quiet_pair_effs": [0.81, 0.85],
+        "best_invocation": {"t2": 160.0, "t8": 47.0, "eff": 0.851, "ceiling": 0.93},
+        "independent_ceiling_xcheck": {
+            "numpy_matmul": {"ratio": 0.95, "sessions": 2},
+            "zlib_cpu_control": {"ratio": 0.97, "sessions": 2},
+        },
+        "target": 0.8,
+    }
+
+
+def test_small_pair_md_writer(tmp_path):
+    """The non-default N→4N pair gets its own evidence file whose
+    verdict column reads the RAW number against 0.8 (the whole point
+    of the unsaturated pair), and the main BASELINE.md writer links
+    to it when present."""
+    bench = _load_bench(tmp_path)
+    (tmp_path / "BENCH").mkdir()
+    bench._write_small_pair_md(_small_out())
+    md = (tmp_path / "BENCH" / "SCALING_2_8.md").read_text()
+    assert "local[2] vs local[8]" in md
+    assert "| end-to-end job | 0.851 | 0.93 | 0.915 | PASS |" in md
+    assert "SPARK_GRAFT_SCALING_PAIR=2,8" in md
+    # raw verdict threshold: below 0.8 raw must read FAIL even if
+    # the normalized column clears it
+    bench._write_small_pair_md(
+        dict(_small_out(), scaling_efficiency_raw=0.7, scaling_efficiency_normalized=0.9)
+    )
+    md_fail = (tmp_path / "BENCH" / "SCALING_2_8.md").read_text()
+    assert "| end-to-end job | 0.7 | 0.93 | 0.9 | FAIL |" in md_fail
+    # and the default writer cross-references the small-pair file
+    bench._write_scaling_md(_out())
+    base = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "BENCH/SCALING_2_8.md" in base
