@@ -629,6 +629,11 @@ def scaling_mode() -> None:
         ceiling = state["ceiling_hi"] / (4 * state["ceiling_lo"])
     else:
         ceiling = float(state.get("ceiling", 0.0))
+    # a measured ratio >1 is cross-phase noise (the low-proc phase ran
+    # under heavier co-tenant load than the high-proc phase); a host
+    # cannot exceed perfect scaling, so clamp the normalization
+    # denominator — this only ever LOWERS normalized efficiencies
+    ceiling = min(ceiling, 1.0)
     print(f"host ceiling (cross-epoch quiet-state): {ceiling:.3f}", file=sys.stderr)
 
     corpus_dir = os.environ.get(
