@@ -1054,17 +1054,31 @@ Reproduce: `python bench.py --scaling`
 (SPARK_GRAFT_SCALING_DOCS, default {out["n_docs"]};
 SPARK_GRAFT_SCALING_ROUNDS, default {out["rounds"]}).
 """
-    small = sorted(p.name for p in bench_dir.glob("SCALING_*_*.md"))
-    if small:
+    small_lines = []
+    for sp in sorted(bench_dir.glob("scaling_state_*_*.json")):
+        try:
+            st = json.loads(sp.read_text())
+            lo_c, hi_c = sorted(int(k) for k in st["best_runs"])[:2]
+            t_lo = st["best_runs"][str(lo_c)]["elapsed_sec"]
+            t_hi = st["best_runs"][str(hi_c)]["elapsed_sec"]
+            raw = round(t_lo / (4 * t_hi), 3)
+            small_lines.append(
+                f"- local[{lo_c}] vs local[{hi_c}]: **raw e2e {raw} "
+                f"{'PASS' if raw >= 0.8 else 'FAIL'}** (floors {t_lo} s / "
+                f"{t_hi} s over {len(st.get('invocations', []))} "
+                f"invocations) — `BENCH/SCALING_{lo_c}_{hi_c}.md`"
+            )
+        except (KeyError, ValueError, IndexError):
+            continue
+    if small_lines:
         md += (
             "\n### Raw N→4N evidence at an unsaturated pair\n\n"
             "The pair above saturates the HOST (32 co-resident processes "
             "share one socket), which is why its gate reads the normalized "
-            "column. The identical job + protocol also runs at a smaller "
-            "N→4N pair where the host can deliver ~4x, making the RAW "
-            "number directly meaningful: see "
-            + ", ".join(f"`BENCH/{n}`" for n in small)
-            + ".\n"
+            "column. The north rule asks for N vs 4N without pinning N, "
+            "so the identical job + protocol also runs at a smaller pair "
+            "where the host can deliver ~4x, making the RAW number "
+            "directly meaningful:\n\n" + "\n".join(small_lines) + "\n"
         )
     (bench_dir / "BASELINE.md").write_text(md, encoding="utf-8")
     print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)

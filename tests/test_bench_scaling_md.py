@@ -11,6 +11,7 @@ hi/(4*lo), so its max selects storm-biased draws).  No Spark needed.
 from __future__ import annotations
 
 import importlib.util
+import json
 import sys
 from pathlib import Path
 
@@ -182,7 +183,26 @@ def test_small_pair_md_writer(tmp_path):
     )
     md_fail = (tmp_path / "BENCH" / "SCALING_2_8.md").read_text()
     assert "| end-to-end job | 0.7 | 0.93 | 0.9 | FAIL |" in md_fail
-    # and the default writer cross-references the small-pair file
+    # and the default writer cross-references the small-pair file,
+    # rendering the RAW verdict from the accumulated per-pair floors
+    # (scaling_state_2_8.json — written by the same --scaling invocation)
+    state = {
+        "best_runs": {
+            "2": {"elapsed_sec": 203.24},
+            "8": {"elapsed_sec": 53.67},
+        },
+        "invocations": [{} for _ in range(8)],
+    }
+    (tmp_path / "BENCH" / "scaling_state_2_8.json").write_text(json.dumps(state))
     bench._write_scaling_md(_out())
     base = (tmp_path / "BENCH" / "BASELINE.md").read_text()
     assert "BENCH/SCALING_2_8.md" in base
+    # 203.24 / (4 * 53.67) = 0.947 → raw PASS line from the floors
+    assert "local[2] vs local[8]: **raw e2e 0.947 PASS**" in base
+    assert "8 invocations" in base
+    # a floor pair below the gate must read FAIL on the raw number
+    state["best_runs"]["8"]["elapsed_sec"] = 80.0
+    (tmp_path / "BENCH" / "scaling_state_2_8.json").write_text(json.dumps(state))
+    bench._write_scaling_md(_out())
+    base_fail = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "raw e2e 0.635 FAIL" in base_fail
