@@ -832,6 +832,12 @@ meaningful under the north rule's two-cluster-size criterion.
 | compute stage | {eff_c} | {ceil} | {norm_c} | {"PASS" if eff_c >= 0.8 else "FAIL"} |
 | end-to-end job | {eff} | {ceil} | {norm} | {"PASS" if eff >= 0.8 else "FAIL"} |
 
+A ratio slightly above 1.0 is NOT super-linear scaling: the two
+levels' floors are minima over interleaved runs, so they can land in
+different co-tenant noise windows; read any value ≥ 1.0 as "≈ 1.0,
+within noise". The deterministic job itself is identical at both
+levels (same input, same rows out).
+
 Accumulated over {out["rounds"]} interleaved rounds,
 {out["n_invocations"]} same-invocation pairs (quiet-pair effs:
 {out["quiet_pair_effs"]}; best pair: {out["best_invocation"]}).
