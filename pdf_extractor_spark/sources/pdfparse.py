@@ -1612,6 +1612,8 @@ def extract_spans(payload: bytes) -> list[dict]:
             mb = [float(doc.resolve(v)) for v in media]
         except (TypeError, ValueError):
             mb = [0, 0, 612, 792]
+        if len(mb) < 4:  # corrupt /MediaBox: repair like MuPDF, don't fail the doc
+            mb = [0, 0, 612, 792]
         width = abs(mb[2] - mb[0])
         height = abs(mb[3] - mb[1])
         # /Rotate: rotate PDF space into an upright page of swapped
@@ -1631,7 +1633,9 @@ def extract_spans(payload: bytes) -> list[dict]:
         elif rot == 270:
             base_ctm = (0.0, 1.0, -1.0, 0.0, height, 0.0)
             width, height = height, width
-        resources = doc.resolve(page.get("Resources")) or {}
+        resources = doc.resolve(page.get("Resources"))
+        if not isinstance(resources, dict):  # corrupt /Resources: extract unstyled
+            resources = {}
         contents = doc.resolve(page.get("Contents"))
         parts: list[bytes] = []
         if isinstance(contents, Stream):

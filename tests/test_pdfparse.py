@@ -232,6 +232,34 @@ def test_rotate_page_transforms():
     assert sorted(flat(r90)) == sorted(flat(base))  # same spans, new layout
 
 
+def test_corrupt_mediabox_and_resources_repair():
+    """MuPDF-style repair instead of failing the doc: a /MediaBox with
+    fewer than 4 numbers falls back to letter dims, and a /Resources
+    that resolves to a non-dict extracts text unstyled (sweep findings:
+    both previously raised Index/AttributeError through the whole doc)."""
+    import random
+
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.sources import pdfparse
+
+    pdf = corpus.random_pdf(random.Random(9))
+    base = pdfparse.extract_spans(pdf)
+
+    def flat(ps):
+        return [sp["text"] for p in ps for b in p["blocks"] for l in b for sp in l]
+
+    short_mb = pdfparse.extract_spans(
+        pdf.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0 612]")
+    )
+    assert flat(short_mb) == flat(base)
+    assert short_mb[0]["width"] == 612.0  # repaired to letter dims
+
+    bad_res = pdfparse.extract_spans(
+        pdf.replace(b"/Resources <<", b"/Resources [ ] /Ignored <<")
+    )
+    assert isinstance(bad_res, list)  # parses; text may be unstyled/absent
+
+
 def test_fuzzed_pdfs_never_hang(spark):
     """Robustness at corpus scale: random truncations, bit flips, and
     splices of real and generated PDFs must either parse or raise —
