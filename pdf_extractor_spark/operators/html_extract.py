@@ -115,6 +115,19 @@ class _Extractor(HTMLParser):
         self.title_parts: list[str] = []
         self._in_title = False
 
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        """CPython wart: on crawled-web `<![` declarations, _markupbase
+        raises AssertionError (garbage after `<![`) or NotImplementedError
+        (unknown section keyword, e.g. `<![if !IE]>` variants it doesn't
+        know). A boilerplate extractor must not fail the whole page for
+        one bad declaration — treat it as a bogus comment: skip to the
+        next `>` and keep extracting the rest of the document."""
+        try:
+            return super().parse_marked_section(i, report)
+        except (AssertionError, NotImplementedError, ValueError):
+            close = self.rawdata.find(">", i + 3)
+            return -1 if close < 0 else close + 1
+
     # -- open-element stack ----------------------------------------------
     def _push(self, tag: str) -> None:
         if tag in _IMPLIED_SIBLING_CLOSE and self._stack and self._stack[-1] == tag:

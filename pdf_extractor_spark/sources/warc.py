@@ -82,6 +82,11 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             # unparseable length: resync on the next record magic
             pos = start + 5
             continue
+        if clen < 0:
+            # a negative length would move the scan position backward and
+            # re-find this same record forever; treat as unparseable
+            pos = start + 5
+            continue
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:
@@ -121,7 +126,9 @@ def _dechunk(body: bytes) -> bytes:
             size = int(body[pos:eol].split(b";")[0], 16)
         except ValueError:
             break
-        if size == 0:
+        if size <= 0:
+            # 0 terminates the chunk stream; a NEGATIVE size (corrupt)
+            # could step pos backward onto the same size line forever
             break
         out += body[eol + 2 : eol + 2 + size]
         pos = eol + 2 + size + 2  # skip chunk + trailing CRLF

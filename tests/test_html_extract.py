@@ -101,3 +101,24 @@ def test_malformed_html_does_not_raise():
     for junk in (b"<p>unclosed", b"<<<>>>", b"", b"\xff\xfe\x00garbage", b"<a><a><a>x</b></i>"):
         res = extract_html(junk)
         assert set(res) == {"title", "main_text", "outline", "n_kept", "n_dropped"}
+
+
+def test_bad_marked_section_keeps_rest_of_page():
+    """CPython's HTMLParser raises AssertionError / NotImplementedError
+    from _markupbase on `<![` + garbage or unknown marked-section
+    keywords (sweep finding: a whole page died for one bad declaration).
+    The tolerant override skips the declaration like a bogus comment and
+    the surrounding prose survives; MS conditional comments too."""
+    before = "Before text stays with plenty of ordinary words inside it."
+    after = "After text also stays with plenty of ordinary words too."
+    res = extract_html(
+        f"<p>{before}</p><![\x1b\xf4\xe5junk><p>{after}</p>".encode("latin-1")
+    )
+    assert before in res["main_text"] and after in res["main_text"]
+    res2 = extract_html(
+        f"<p>{before}</p><![if !IE]><p>{after}</p><![endif]>".encode()
+    )
+    assert before in res2["main_text"] and after in res2["main_text"]
+    # trailing unterminated declaration: no crash, prior text survives
+    res3 = extract_html(f"<p>{before}</p><![\x02".encode("latin-1"))
+    assert before in res3["main_text"]

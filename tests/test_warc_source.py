@@ -92,6 +92,29 @@ class TestRecordIteration:
         got = list(iter_warc_records(lied + recs[1] + recs[2]))
         assert [h["warc-target-uri"] for h, _ in got] == [r["url"] for r in rows[1:]]
 
+    def test_negative_content_length_terminates_and_resyncs(self):
+        """A negative Content-Length must not move the scan position
+        backward: pre-fix, `-1000` re-found the SAME record forever —
+        an infinite generator that would hang an executor task on a
+        crafted archive. The liar is dropped; the archive survives."""
+        good = corpus.rows_to_warc(_rows(2), member_gzip=False)
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/\r\nContent-Length: -1000\r\n\r\n"
+            b"somebody\r\n\r\n"
+        )
+        recs = list(iter_warc_records(bad + good))
+        assert len(recs) == 2
+
+    def test_negative_chunk_size_terminates(self):
+        """Corrupt chunked body with a negative hex size: `-6` made
+        _dechunk's position arithmetic land back on the same size line
+        forever (pre-fix hang). Must terminate and keep prior chunks."""
+        from pdf_extractor_spark.sources.warc import _dechunk
+
+        assert _dechunk(b"3\r\nABC\r\n-6\r\nDEF\r\n0\r\n\r\n") == b"ABC"
+        assert _dechunk(b"-6\r\nABCDEF\r\n0\r\n\r\n") == b""
+
     def test_bad_content_length_resyncs(self):
         good = corpus.rows_to_warc(_rows(3), member_gzip=False)
         bad = (

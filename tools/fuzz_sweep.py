@@ -34,6 +34,7 @@ from pdf_extractor_spark import corpus  # noqa: E402
 from pdf_extractor_spark.operators.html_extract import extract_html  # noqa: E402
 from pdf_extractor_spark.sources import payload as payload_mod  # noqa: E402
 from pdf_extractor_spark.sources import pdfparse  # noqa: E402
+from pdf_extractor_spark.sources import warc as warc_mod  # noqa: E402
 
 _DISORDERLY = (MemoryError, RecursionError, SystemExit, KeyboardInterrupt)
 _BUDGET_SEC = 10.0  # same per-doc wall budget the pytest fuzzers use
@@ -77,7 +78,17 @@ def _build_seeds() -> dict[str, list[bytes]]:
         for s in range(4)
     ]
     htmls = [corpus.random_html(random.Random(s)) for s in range(6)]
-    return {"pdf": pdfs, "crypt": crypt, "spandoc": spandocs, "html": htmls}
+    warcs = []
+    for s, gz in ((0, False), (1, True)):
+        rows = corpus.build_pages_rows(8, seed=100 + s)
+        warcs.append(corpus.rows_to_warc(rows, member_gzip=gz))
+    return {
+        "pdf": pdfs,
+        "crypt": crypt,
+        "spandoc": spandocs,
+        "html": htmls,
+        "warc": warcs,
+    }
 
 
 def _mutate(rng: random.Random, doc: bytes) -> bytes:
@@ -124,13 +135,22 @@ def _one(task: tuple[int, int]) -> dict:
         _SEEDS = _build_seeds()
     i, base_seed = task
     rng = random.Random(base_seed * 1_000_003 + i)
-    kind = rng.choice(("pdf", "pdf", "crypt", "spandoc", "html", "html"))
+    kind = rng.choice(("pdf", "pdf", "crypt", "spandoc", "html", "html", "warc"))
     doc = _mutate(rng, rng.choice(_SEEDS[kind]))
     t0 = time.monotonic()
     err = None
     try:
         if kind == "html":
             _assert_html(extract_html(doc))
+        elif kind == "warc":
+            # bounded iteration: the record generator must terminate on
+            # ANY byte string (a backward scan = infinite loop = hang)
+            n_rec = 0
+            for headers, block in warc_mod.iter_warc_records(doc):
+                assert isinstance(headers, dict)
+                warc_mod.http_response_body(block)
+                n_rec += 1
+                assert n_rec <= 10_000, "runaway record generator"
         elif kind == "spandoc":
             k, pages = payload_mod.parse_payload(doc)
             if pages is not None:
