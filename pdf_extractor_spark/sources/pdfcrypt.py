@@ -217,9 +217,9 @@ class StandardSecurityHandler:
         filt = enc.get("Filter")
         if filt is not None and str(filt) != "Standard":
             raise PdfCryptError(f"unsupported security handler {filt!r}")
-        self.v = int(enc.get("V", 0) or 0)
-        self.r = int(enc.get("R", 2) or 2)
-        self.p = int(enc.get("P", -1) or -1)
+        self.v = self._as_int(enc.get("V"), 0)
+        self.r = self._as_int(enc.get("R"), 2)
+        self.p = self._as_int(enc.get("P"), -1)
         if self.p > 0x7FFFFFFF:  # stored unsigned by some writers
             self.p -= 0x100000000
         self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
@@ -230,7 +230,7 @@ class StandardSecurityHandler:
         self.str_cfm = "V2"
 
         if self.v in (1, 2):
-            length = int(enc.get("Length", 40) or 40)
+            length = self._as_int(enc.get("Length"), 40)
             self.key_bytes = max(5, min(16, length // 8 if length >= 40 else length))
             self.key = self._legacy_key(password)
             self._check_user_password_legacy(password)
@@ -246,6 +246,18 @@ class StandardSecurityHandler:
             raise PdfCryptError(f"unsupported encryption V={self.v}")
 
     @staticmethod
+    def _as_int(x, default: int) -> int:
+        """Numeric /Encrypt entry, or PdfCryptError. A corrupt value
+        (e.g. an array where /V should be) must triage as a crypt
+        failure in lineage, not a raw TypeError/ValueError."""
+        if not x:  # same falsy→default coercion as the `int(x or d)` it replaces
+            return default
+        try:
+            return int(x)
+        except (TypeError, ValueError) as exc:
+            raise PdfCryptError(f"corrupt /Encrypt numeric entry {x!r}") from exc
+
+    @staticmethod
     def _as_bytes(x) -> bytes:
         if isinstance(x, bytes):
             return x
@@ -254,7 +266,9 @@ class StandardSecurityHandler:
         return b""
 
     def _crypt_filters(self, enc: dict) -> tuple[str, str, int]:
-        cf = enc.get("CF") or {}
+        cf = enc.get("CF")
+        if not isinstance(cf, dict):  # corrupt /CF → every lookup misses
+            cf = {}
         names = {}
         for which, key in (("stm", "StmF"), ("str", "StrF")):
             name = str(enc.get(key, "Identity") or "Identity")
@@ -276,7 +290,7 @@ class StandardSecurityHandler:
                 # CF Length default: the dict-level /Length, else the
                 # spec default 40 bit (ISO 32000-1 table 25)
                 length = enc.get("Length", 40) or 40
-            length = int(length)
+            length = self._as_int(length, 40)
             kb = length // 8 if length >= 40 else length  # bytes vs bits
             names[which] = (cfm, max(5, min(16, kb)))
         # one file key serves both classes (mupdf derives it from the

@@ -426,3 +426,24 @@ def test_v4_cf_length_defaults_to_dict_length():
         % (p, o.hex().encode(), u.hex().encode())
     )
     assert _spans(_assemble_pdf(enc, enc_stream)) == EXPECTED
+
+
+def test_corrupt_encrypt_entries_raise_crypt_error():
+    """Corrupt /Encrypt entries (array where a number or the /CF dict
+    belongs) must triage as PdfCryptError in lineage, not raw
+    TypeError/AttributeError (sweep finding)."""
+    import pytest
+
+    from pdf_extractor_spark.sources.pdfcrypt import (
+        PdfCryptError,
+        StandardSecurityHandler,
+    )
+
+    base = {"Filter": "Standard", "R": 3, "P": -44, "O": "x" * 32, "U": "y" * 32}
+    for bad in (
+        dict(base, V=[1, 2]),
+        dict(base, V=2, Length=[128]),
+        dict(base, V=4, CF=[1], StmF="StdCF", StrF="StdCF"),
+    ):
+        with pytest.raises(PdfCryptError):
+            StandardSecurityHandler(bad, b"id0")
