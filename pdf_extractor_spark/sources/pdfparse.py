@@ -653,9 +653,23 @@ class PdfDocument:
 
     def _load_xref_stream(self, stm: Stream) -> None:
         d = stm.dict
-        w = [self.resolve(x) for x in d.get("W", [1, 1, 1])]
+        w = self.resolve(d.get("W", [1, 1, 1]))
+        w = [self.resolve(x) for x in w] if isinstance(w, list) else None
         size = self.resolve(d.get("Size", 0))
+        if not isinstance(size, int):
+            size = 0
         index = self.resolve(d.get("Index")) or [0, size]
+        # corrupt W/Index (non-numeric entries after a byte flip) make
+        # the decode arithmetic meaningless: treat the stream as
+        # unusable instead of raising TypeError through the whole doc —
+        # the object-scan recovery path still applies
+        if (
+            w is None
+            or not all(isinstance(x, int) and x >= 0 for x in w)
+            or not isinstance(index, list)
+            or not all(isinstance(v, int) for v in index)
+        ):
+            return
         data = stm.data()
         for k, v in d.items():
             if k not in ("Prev",):
@@ -738,6 +752,12 @@ class PdfDocument:
                 data = stm.data()
                 n = self.resolve(stm.dict.get("N", 0))
                 first = self.resolve(stm.dict.get("First", 0))
+                # corrupt /N or /First: clamp/zero instead of letting the
+                # header loop or offset addition raise TypeError (each
+                # header pair needs bytes, so len(data) bounds any sane N)
+                n = min(n, len(data)) if isinstance(n, int) else 0
+                if not isinstance(first, int):
+                    first = 0
                 hdr = Lexer(data, 0)
                 pairs = []
                 try:
@@ -748,6 +768,8 @@ class PdfDocument:
                 except PdfError:
                     pass
                 for onum, ooff in pairs:
+                    if not isinstance(onum, int) or not isinstance(ooff, int):
+                        continue  # corrupt header pair
                     try:
                         tbl[onum] = Lexer(data, first + ooff).read_object(self)
                     except (PdfError, IndexError):
