@@ -511,6 +511,22 @@ def _submit_once(cores: int, input_dir: str, out_dir: str, zip_path: Path) -> di
     return json.loads(line)
 
 
+def _best_credible_pair(
+    invocations: list, floor_low: float, klo: str
+) -> dict | None:
+    """Max-eff same-invocation pair among CREDIBLE draws: those whose
+    low-parallelism phase ran within 1.5x of the accumulated floor.
+
+    An unbounded max rewards storms — a t_low slowed 3x by a co-tenant
+    burst while t_high runs near floor reads eff > 1, a noise artifact
+    a scaling table must not headline. Excluded draws stay in
+    state["invocations"] for audit; falls back to the unfiltered max
+    when no draw qualifies (so the row still renders early on).
+    """
+    cred = [i for i in invocations if i[klo] <= 1.5 * floor_low] or list(invocations)
+    return max(cred, key=lambda i: i["eff"], default=None)
+
+
 def scaling_mode() -> None:
     """north_rule scaling protocol: the identical production job
     (spark-submit --py-files: parquet scan → extraction → bucketed
@@ -730,6 +746,9 @@ def scaling_mode() -> None:
     klo, khi = f"t{n_low}", f"t{n_high}"
     eff = results[n_high]["docs_per_sec"] / (4 * results[n_low]["docs_per_sec"])
     eff_c = compute_best[n_low] / (4 * compute_best[n_high])
+    _binv = _best_credible_pair(
+        state.get("invocations", []), best[n_low]["elapsed_sec"], klo
+    )
     out = {
         "protocol": (
             f"spark-submit --py-files, local[{n_low}] vs local[{n_high}], "
@@ -747,9 +766,7 @@ def scaling_mode() -> None:
         f"host_ceiling_{n_low}_to_{n_high}": round(ceiling, 3),
         "scaling_efficiency_normalized": round(eff / ceiling, 3) if ceiling else None,
         "compute_stage_efficiency_normalized": round(eff_c / ceiling, 3) if ceiling else None,
-        "best_invocation": max(
-            state.get("invocations", []), key=lambda i: i["eff"], default=None
-        ),
+        "best_invocation": _binv,
         "n_invocations": len(state.get("invocations", [])),
         # the round-2 verdict's empirical-consensus ask: how many
         # independent same-invocation pairs clear 0.76 raw
@@ -768,13 +785,7 @@ def scaling_mode() -> None:
             and i[khi] <= 1.15 * best[n_high]["elapsed_sec"]
         ),
         "best_pair_t8_vs_floor": (
-            round(
-                max(state.get("invocations", []), key=lambda i: i["eff"])[klo]
-                / best[n_low]["elapsed_sec"],
-                2,
-            )
-            if state.get("invocations")
-            else None
+            round(_binv[klo] / best[n_low]["elapsed_sec"], 2) if _binv else None
         ),
         "ceiling_probe_log": state.get("ceiling_probe_log", []),
         # non-repo workloads under the identical mp.Pool 8-vs-32

@@ -93,6 +93,25 @@ def test_md_writer_empty_probe_log(tmp_path):
     assert "No v2 probe session recorded" in md
 
 
+def test_best_credible_pair_excludes_storm_draws(tmp_path):
+    """The headline best-pair must come from draws whose low level ran
+    near its floor: a storm that slows t8 3x while t32 runs clean reads
+    eff > 1, which is a co-tenant artifact, not a scaling observation."""
+    bench = _load_bench(tmp_path)
+    inv = [
+        {"t8": 47.29, "t32": 16.58, "eff": 0.713, "ceiling": None},
+        # storm draw: eff 1.077 but its t8 ran 3.15x the floor
+        {"t8": 136.42, "t32": 31.66, "eff": 1.077, "ceiling": None},
+        {"t8": 55.21, "t32": 25.4, "eff": 0.543, "ceiling": None},
+    ]
+    best = bench._best_credible_pair(inv, floor_low=43.3, klo="t8")
+    assert best["eff"] == 0.713
+    # when NO draw is credible the unfiltered max still renders
+    only_storms = [{"t8": 136.42, "t32": 31.66, "eff": 1.077, "ceiling": None}]
+    assert bench._best_credible_pair(only_storms, 43.3, "t8")["eff"] == 1.077
+    assert bench._best_credible_pair([], 43.3, "t8") is None
+
+
 def test_md_writer_quiet_pair_consistency_check(tmp_path):
     """The same-invocation section must report the quiet-pair
     distribution as the estimate and demote best-pair-by-eff to an
