@@ -124,20 +124,16 @@ AUDITS = [
         "equality join only.",
     ),
     (
-        "layout_header_footer",
-        {"no_python": lambda p, sp: "Python" not in p,
-         "partial_agg": lambda p, sp: _tree(p).count("HashAggregate") >= 2},
-        "Header/footer flags: recurring-furniture detection is two "
-        "aggregates + joins keyed by doc_id only — map-side partial "
-        "aggregation, co-partitioned with the extraction output's "
-        "bucket layout.",
-    ),
-    (
         "layout_reading_order",
         {"no_python": lambda p, sp: "Python" not in p,
-         "single_window": lambda p, sp: _tree(p).count("Window") == 1},
-        "Multi-column reading order: one window over (doc_id, "
-        "page_num) — shuffle-free on a doc-bucketed table.",
+         "single_window": lambda p, sp: _tree(p).count("Window") == 1,
+         "partial_agg": lambda p, sp: _tree(p).count("HashAggregate") >= 2},
+        "Merged layout row (reading order + header/footer flags, one "
+        "per-block grain): ONE window over (doc_id, page_num) for "
+        "column-major ordering, and recurring-furniture detection as "
+        "two aggregates + joins keyed by doc_id only — map-side "
+        "partial aggregation, co-partitioned with the extraction "
+        "output's bucket layout; shuffle-free on a doc-bucketed table.",
     ),
     (
         "text_quality",
