@@ -1459,6 +1459,308 @@ def outline_stats(spark, sf_dir):
     )
 
 
+_HTML_STATS_N_GEN = 151
+_HTML_STATS_SEED = 77_000
+
+
+def _html_digest_rows(items: list[tuple[str, dict | None]]):
+    """Shared digest computation for the html_stats oracle: each item is
+    (url, extract_html-result-or-expected-entry). A None entry means the
+    S4 routing rejected the payload (parse_ok=false row)."""
+    import hashlib
+    import json as _json
+
+    def _md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rows = []
+    for url, e in items:
+        if e is None:
+            rows.append((url, False, None, None, None, None, None, None, None, None))
+            continue
+        ol = [
+            {"level": x["level"], "text": x["text"], "page": x["page"]}
+            for x in e["outline"]
+        ]
+        concat = "\n".join(f"{x['level']}:{x['text']}:{x['page']}" for x in ol)
+        js = _json.dumps({"title": e["title"], "outline": ol}, indent=2, ensure_ascii=False)
+        rows.append(
+            (
+                url,
+                True,
+                len(ol),
+                sum(1 for x in ol if x["level"] == "H1"),
+                sum(1 for x in ol if x["level"] == "H2"),
+                sum(1 for x in ol if x["level"] == "H3"),
+                _md5(e["title"] or ""),
+                _md5(e["main_text"] or ""),
+                _md5(concat),
+                _md5(js),
+            )
+        )
+    return rows
+
+
+def _html_stats_oracle() -> str | None:
+    """DuckDB twin of html_stats, two slices:
+
+    * the committed adversarial golden corpus
+      (tests/fixtures/html_golden): digests computed from the FROZEN
+      expected.json — regeneration-proof tests pin those bytes, so this
+      slice is reviewed-construction truth, independent of what the
+      executors compute today. The two deliberately-degenerate fixtures
+      (empty / whitespace-only payloads) are parse_ok=false rows: the
+      S4 routing rejects a payload with no content, mirrored here by
+      the byte-level ``strip()`` test rather than by calling the
+      production detector.
+    * N deterministic generated pages (corpus.random_html): digests
+      from a LOCAL single-process extract_html run at registration —
+      this slice proves local-vs-distributed execution equivalence of
+      the full html path (Arrow batching, binary round-trip, batch
+      isolation), complementing the frozen slice.
+
+    Returns None when tests/fixtures is not on disk (shipped-zip
+    context) — the query then runs rows-only."""
+    import json as _json
+    import random
+    from pathlib import Path as _Path
+
+    fix = _Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "html_golden"
+    if not (fix / "expected.json").exists():
+        return None
+    from ..operators.html_extract import extract_html
+    from .. import corpus as corpus_mod
+
+    expected = _json.loads((fix / "expected.json").read_text(encoding="utf-8"))
+    items: list[tuple[str, dict | None]] = []
+    for name in sorted(expected):
+        payload = (fix / f"{name}.html").read_bytes()
+        if not payload:
+            # Spark's binaryFile source yields no row for a 0-byte file,
+            # so the empty-payload fixture cannot appear in this query's
+            # input; the empty-payload S4 path is pytest-covered
+            # (test_html_golden). whitespace_only still rides here as
+            # the parse_ok=false routing commitment.
+            continue
+        items.append((name, expected[name] if payload.strip() else None))
+    for i in range(_HTML_STATS_N_GEN):
+        payload = corpus_mod.random_html(random.Random(_HTML_STATS_SEED + i))
+        items.append((f"gen/{i:06d}", extract_html(payload)))
+
+    vals = []
+    for r in _html_digest_rows(items):
+        url, ok = r[0], "true" if r[1] else "false"
+        rest = ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in r[2:]
+        )
+        vals.append(f"('{url}', {ok}, {rest})")
+    return (
+        "SELECT url, parse_ok,\n"
+        "       n_outline::BIGINT AS n_outline, n_h1::BIGINT AS n_h1,\n"
+        "       n_h2::BIGINT AS n_h2, n_h3::BIGINT AS n_h3,\n"
+        "       title_md5, text_md5, outline_md5, json_md5\n"
+        f"FROM (VALUES {','.join(vals)}) AS t(url, parse_ok, n_outline, n_h1,"
+        " n_h2, n_h3, title_md5, text_md5, outline_md5, json_md5)"
+    )
+
+
+@register("html_stats", _html_stats_oracle)
+def html_stats(spark, sf_dir):
+    """Hash-matched driver row for the HTML boilerplate path (VERDICT r4
+    next-round #1 — the outline_stats pattern applied to the last
+    rows-only flagship): run the FULL production extraction
+    (parse_payload routing → extract_html → byte-exact JSON render)
+    over the committed 49-fixture adversarial golden corpus PLUS
+    deterministic generated boilerplate pages, all on the executors,
+    then reduce each url's result to scalar digests entirely JVM-side
+    (from_json + higher-order functions — no Python after the one Arrow
+    extraction stage, no shuffle). json_md5 commits to the byte-exact
+    sink format per url; text_md5 commits to the extracted main_text
+    (the north rule's tier-extraction output); the degenerate fixtures
+    stay as parse_ok=false rows committing to the S4 routing.
+    Reference scope: SURVEY §2.11."""
+    import pandas as pd
+
+    from pathlib import Path as _Path
+
+    from .. import corpus as corpus_mod
+    from ..operators.extract import extract_pages
+
+    fix = _Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "html_golden"
+    fixtures = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(str(fix))
+        .select(
+            F.regexp_replace(
+                F.element_at(F.split("path", "/"), -1), r"\.html$", ""
+            ).alias("url"),
+            F.col("content").alias("html"),
+        )
+    )
+
+    def gen(batches):
+        import random
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rows.append(
+                    {
+                        "url": f"gen/{i:06d}",
+                        "html": corpus_mod.random_html(
+                            random.Random(_HTML_STATS_SEED + i)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    gen_pages = spark.range(0, _HTML_STATS_N_GEN, 1, 8).mapInPandas(
+        gen, schema="url string, html binary"
+    )
+    res = extract_pages(fixtures.unionByName(gen_pages))
+    o = F.from_json(
+        F.col("outline_json"),
+        "struct<title:string, outline:array<struct<level:string,text:string,page:int>>>",
+    )
+    outline = o.getField("outline")
+
+    def _lvl(level: str):
+        return F.size(F.filter(outline, lambda x: x.getField("level") == F.lit(level)))
+
+    ok = F.col("parse_ok")
+
+    def _ifok(c):
+        return F.when(ok, c)
+
+    return res.select(
+        "url",
+        "parse_ok",
+        _ifok(F.size(outline).cast("bigint")).alias("n_outline"),
+        _ifok(_lvl("H1").cast("bigint")).alias("n_h1"),
+        _ifok(_lvl("H2").cast("bigint")).alias("n_h2"),
+        _ifok(_lvl("H3").cast("bigint")).alias("n_h3"),
+        _ifok(
+            F.md5(F.coalesce(o.getField("title"), F.lit("")).cast("binary"))
+        ).alias("title_md5"),
+        _ifok(F.md5(F.coalesce(F.col("main_text"), F.lit("")).cast("binary"))).alias(
+            "text_md5"
+        ),
+        _ifok(
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        outline,
+                        lambda x: F.concat_ws(
+                            ":",
+                            x.getField("level"),
+                            x.getField("text"),
+                            x.getField("page").cast("string"),
+                        ),
+                    ),
+                ).cast("binary")
+            )
+        ).alias("outline_md5"),
+        _ifok(F.md5(F.col("outline_json").cast("binary"))).alias("json_md5"),
+    )
+
+
+_WARC_STATS_N_PER = 30
+_WARC_STATS_N_ARCH = 4
+
+
+def _warc_stats_dir() -> str:
+    """Materialize the deterministic WARC archive set for
+    warc_ingest_stats under /tmp (bytes depend only on the corpus seed;
+    rows_to_warc pins gzip mtime=0, so repeated runs write identical
+    files). Archives alternate the two Common-Crawl layouts:
+    member-gzip .warc.gz and plain concatenated .warc. Includes the
+    corpus's deterministic corrupt-payload slice (i % 41 == 7) —
+    ingest must deliver those bytes intact for the downstream S4 path,
+    not drop them."""
+    import tempfile
+    from pathlib import Path as _Path
+
+    from .. import corpus as corpus_mod
+
+    d = _Path(tempfile.gettempdir()) / "pdfx_warc_ingest_stats_v1"
+    d.mkdir(exist_ok=True)
+    for k in range(_WARC_STATS_N_ARCH):
+        rows = [
+            corpus_mod.build_pages_row(i)
+            for i in range(k * _WARC_STATS_N_PER, (k + 1) * _WARC_STATS_N_PER)
+        ]
+        gz = k % 2 == 0
+        (d / f"arch{k}.{'warc.gz' if gz else 'warc'}").write_bytes(
+            corpus_mod.rows_to_warc(rows, member_gzip=gz)
+        )
+    return str(d)
+
+
+def _warc_ingest_stats_oracle() -> str:
+    """DuckDB twin of warc_ingest_stats from CONSTRUCTION truth: the
+    expected url / timestamp / byte-count / payload-md5 per record come
+    from corpus.build_pages_row directly — the writer's input, never
+    the reader's output — so a hash match proves record iteration,
+    member-gzip vs plain framing, HTTP body extraction, and WARC-Date
+    round-trip on the full production pages_from_warc path."""
+    import hashlib
+
+    from .. import corpus as corpus_mod
+
+    vals = []
+    for i in range(_WARC_STATS_N_PER * _WARC_STATS_N_ARCH):
+        r = corpus_mod.build_pages_row(i)
+        vals.append(
+            "('%s', %d, '%s', %d, '%s')"
+            % (
+                r["url"],
+                i // _WARC_STATS_N_PER,
+                r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                len(r["html"]),
+                hashlib.md5(r["html"]).hexdigest(),
+            )
+        )
+    return (
+        "SELECT url, archive_id::INT AS archive_id, ts_s,\n"
+        "       n_bytes::BIGINT AS n_bytes, payload_md5\n"
+        f"FROM (VALUES {','.join(vals)}) AS t(url, archive_id, ts_s,"
+        " n_bytes, payload_md5)"
+    )
+
+
+@register("warc_ingest_stats", _warc_ingest_stats_oracle)
+def warc_ingest_stats(spark, sf_dir):
+    """Hash-matched driver row for the Common-Crawl WARC ingest edge
+    (VERDICT r4 next-round #3): deterministic archives in BOTH CC
+    layouts (member-gzip + plain), including the corrupt-payload
+    slice, read by the production pages_from_warc source (binaryFile →
+    one Arrow batch per archive → record iteration + HTTP body
+    extraction), then digested per url entirely JVM-side. archive_id
+    is recomputed from the url's doc index (archive membership is a
+    construction invariant), ts_s commits to the WARC-Date round-trip,
+    payload_md5 to byte-intact body extraction.
+    Reference scope: SURVEY §2 S1 ingest edge; sources/warc.py."""
+    from ..sources.warc import pages_from_warc
+
+    pages = pages_from_warc(spark, _warc_stats_dir())
+    return pages.select(
+        "url",
+        F.floor(
+            F.regexp_extract("url", r"/doc/(\d{6})", 1).cast("int")
+            / _WARC_STATS_N_PER
+        )
+        .cast("int")
+        .alias("archive_id"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_s"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 @register(
     "ann_batch_topk",
     """
