@@ -106,10 +106,44 @@ def test_best_credible_pair_excludes_storm_draws(tmp_path):
     ]
     best = bench._best_credible_pair(inv, floor_low=43.3, klo="t8")
     assert best["eff"] == 0.713
-    # when NO draw is credible the unfiltered max still renders
+    assert best["credible"] is True
+    # when NO draw is credible the unfiltered max still renders but is
+    # FLAGGED — the md writer must render its verdict as indeterminate,
+    # never PASS (ADVICE r4: early accumulation let the storm artifact
+    # the filter targets headline as a PASS row)
     only_storms = [{"t8": 136.42, "t32": 31.66, "eff": 1.077, "ceiling": None}]
-    assert bench._best_credible_pair(only_storms, 43.3, "t8")["eff"] == 1.077
+    fb = bench._best_credible_pair(only_storms, 43.3, "t8")
+    assert fb["eff"] == 1.077
+    assert fb["credible"] is False
     assert bench._best_credible_pair([], 43.3, "t8") is None
+
+
+def test_md_writer_never_passes_noncredible_pair(tmp_path):
+    """A fallback (credible=False) best pair must render an
+    indeterminate verdict in BASELINE.md, not PASS — even when its eff
+    clears 0.8 (that is exactly the storm artifact)."""
+    bench = _load_bench(tmp_path)
+    bench._write_scaling_md(
+        _out(
+            best_invocation={
+                "t8": 136.42, "t32": 31.66, "eff": 1.077,
+                "ceiling": None, "credible": False,
+            }
+        )
+    )
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "no credible pair yet" in md
+    # the credible pair row from _out() default must still PASS
+    bench._write_scaling_md(
+        _out(
+            best_invocation={
+                "t8": 68.8, "t32": 21.44, "eff": 0.802,
+                "ceiling": 0.828, "credible": True,
+            }
+        )
+    )
+    md2 = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "no credible pair yet" not in md2
 
 
 def test_md_writer_quiet_pair_consistency_check(tmp_path):
@@ -122,7 +156,7 @@ def test_md_writer_quiet_pair_consistency_check(tmp_path):
         _out(
             n_invocations=98,
             quiet_pair_effs=[0.562, 0.594, 0.607, 0.645, 0.689],
-            best_pair_t8_vs_floor=1.59,
+            best_pair_tlow_vs_floor=1.59,
         )
     )
     md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
