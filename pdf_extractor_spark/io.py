@@ -470,6 +470,47 @@ def size_aware_repartition(
     return out
 
 
+# Auto-engage threshold for the heavy-tail detector: a corpus whose
+# largest document exceeds this multiple of the MEAN document is
+# heavy-tailed enough that row-count partitioning can hand one task a
+# payload far above the median task (the OOM shape). The default
+# synthetic corpus measures max/mean ~3x (no trigger); the planted
+# heavy-tail slice measures ~40x (trigger) — the factor sits between
+# with a wide margin on both sides.
+SIZE_AWARE_AUTO_FACTOR = 16
+
+
+def detect_heavy_tail(df: DataFrame, payload_col: str = "html") -> dict:
+    """One column-pruned aggregate over payload lengths → the
+    heavy-tail verdict that decides whether the production job engages
+    size-aware repartitioning on its own (VERDICT r4 #6: the OOM guard
+    must not depend on an operator remembering a flag).
+
+    Cost model: one length scan of the payload column. Worth it on an
+    unbucketed parquet input (the ad-hoc production shape this guard
+    targets); on an Iceberg table the same numbers come free from
+    file/row-group metadata, and a bucketed ingest already shaped its
+    partitions, so the CLI skips detection there."""
+    plen = F.coalesce(F.length(payload_col).cast("long"), F.lit(0))
+    s = df.select(
+        F.count("*").alias("n"),
+        F.avg(plen).alias("mean"),
+        F.max(plen).alias("max"),
+        F.sum(plen).alias("total"),
+    ).first()
+    n = int(s["n"] or 0)
+    mean = float(s["mean"] or 0.0)
+    mx = int(s["max"] or 0)
+    return {
+        "n_docs": n,
+        "mean_doc_bytes": int(mean),
+        "max_doc_bytes": mx,
+        "total_payload_bytes": int(s["total"] or 0),
+        "auto_factor": SIZE_AWARE_AUTO_FACTOR,
+        "heavy": bool(n and mean and mx > SIZE_AWARE_AUTO_FACTOR * mean),
+    }
+
+
 def partition_payload_stats(df: DataFrame, payload_col: str = "html") -> dict:
     """Measure the ACTUAL per-task payload distribution of ``df``'s
     current partitioning: one pass, two bytes-and-count aggregates
