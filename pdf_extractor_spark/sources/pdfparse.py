@@ -399,6 +399,15 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
 
 _IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF"}
 
+# Predefined CMaps-by-name whose source codes are Unicode code units by
+# definition (ISO 32000-1 §9.7.5.2 table 118: the Uni<collection>-UCS2/
+# UTF16 families for Adobe-Japan1/GB1/CNS1/Korea1/KR) — text decodes
+# structurally, no external table needed. JIS2004/JISX0213 variants are
+# spelled UniJIS2004 / UniJISX0213 / UniJISX02132004.
+_PREDEF_UNICODE_CMAP = re.compile(
+    r"^Uni(?:JIS(?:2004|X0213(?:2004)?)?|GB|CNS|KS|AKR)-(?:UCS2|UTF16)-[HV]$"
+)
+
 
 def _decode_stream(d: dict, raw: bytes, doc: Optional["PdfDocument"]) -> bytes:
     filters = d.get("Filter")
@@ -1065,6 +1074,10 @@ class Font:
         # codespace byte-lengths present in the encoding CMap, ascending;
         # None = fixed 2-byte (Identity-H/V and predefined CMaps)
         self._code_lens: list[tuple[int, bytes, bytes]] | None = None
+        # predefined Uni*-(UCS2|UTF16)-[HV] CMap-by-name: codes ARE
+        # Unicode code units by the CMap's public definition, so text
+        # decodes without any table (see _init_type0)
+        self._unicode_codes = False
         if self.subtype == "Type0":
             self._init_type0()
         elif self.subtype == "Type3":
@@ -1173,12 +1186,35 @@ class Font:
         # CMap stream defines its own codespace (1-4 byte codes, byte-
         # length buckets) and code→CID ranges — parse it so both the
         # glyph segmentation and the CID width lookup are right
-        # (ISO 32000-1 §9.7.5.3). Predefined non-Identity CMaps by name
-        # (UniJIS-UCS2-H, …) need external table files we don't ship:
-        # fall back to 2-byte identity — ToUnicode still supplies text,
-        # widths may use the code-as-CID approximation.
+        # (ISO 32000-1 §9.7.5.3). Predefined non-Identity CMaps by
+        # name come in two kinds:
+        #   - the Unicode family (UniJIS-UCS2-H, UniGB-UTF16-V, …):
+        #     their DEFINING structure — public in ISO 32000-1 §9.7.5.2
+        #     table 118 and Adobe's CMap resource docs — is that source
+        #     codes ARE UCS-2 / UTF-16BE code units of the target
+        #     character collection. Text therefore decodes with NO
+        #     table (handled below); only the code→CID table (needed
+        #     just for per-glyph W widths) is external data we don't
+        #     ship, so metrics for those fonts fall back to /DW unless
+        #     a ToUnicode-less writer also relies on W (rare: real CJK
+        #     PDFs overwhelmingly embed ToUnicode — FIXTURES.md §7
+        #     quantifies this).
+        #   - legacy-encoding names (90ms-RKSJ-H, GBK-EUC-H, …): pure
+        #     external table data; fall back to 2-byte identity —
+        #     ToUnicode still supplies text when present.
         enc = doc.resolve(self.d.get("Encoding"))
-        if isinstance(enc, Stream):
+        if isinstance(enc, Name) and _PREDEF_UNICODE_CMAP.match(enc):
+            self._unicode_codes = True
+            if "UTF16" in enc:
+                # the UTF-16 CMaps' published codespace: 2-byte BMP
+                # buckets around the surrogate gap + 4-byte surrogate
+                # pairs (byte-wise membership per §9.7.6.2)
+                self._code_lens = [
+                    (2, b"\x00\x00", b"\xd7\xff"),
+                    (2, b"\xe0\x00", b"\xff\xff"),
+                    (4, b"\xd8\x00\xdc\x00", b"\xdb\xff\xdf\xff"),
+                ]
+        elif isinstance(enc, Stream):
             try:
                 cs, chars, ranges = _parse_cid_cmap(enc.data())
                 if not cs and (chars or ranges):
@@ -1258,6 +1294,18 @@ class Font:
         nbytes = min(lens[0][0], len(s) - i)
         return int.from_bytes(s[i : i + nbytes], "big"), nbytes
 
+    def _unicode_code_txt(self, code: int, nbytes: int) -> str:
+        """Predefined Uni*-UCS2/UTF16 CMap: the code IS the UTF-16BE
+        unit(s). Lone surrogates (malformed content) decode to the
+        replacement glyph, matching the unmapped-code fallback; code 0
+        stays empty (the notdef convention the other paths use)."""
+        if code == 0:
+            return ""
+        try:
+            return code.to_bytes(max(nbytes, 2), "big").decode("utf-16-be")
+        except (UnicodeDecodeError, OverflowError):
+            return "�"
+
     def decode(self, s: bytes) -> list[tuple[str, float, int]]:
         """→ [(unicode_text, width_in_1000ths, code)] per glyph."""
         out = []
@@ -1269,7 +1317,10 @@ class Font:
                     i += nbytes
                     txt = self.tounicode.get(code)
                     if txt is None:
-                        txt = "�" if code else ""
+                        if self._unicode_codes:
+                            txt = self._unicode_code_txt(code, nbytes)
+                        else:
+                            txt = "�" if code else ""
                     cid = self._cid_for(code)
                     out.append((txt, self.widths.get(cid, self.default_width), code))
                 return out
@@ -1277,7 +1328,10 @@ class Font:
                 code = (s[i] << 8) | s[i + 1]
                 txt = self.tounicode.get(code)
                 if txt is None:
-                    txt = "�" if code else ""
+                    if self._unicode_codes:
+                        txt = self._unicode_code_txt(code, 2)
+                    else:
+                        txt = "�" if code else ""
                 out.append((txt, self.widths.get(code, self.default_width), code))
             if len(s) % 2:  # trailing odd byte
                 code = s[-1]

@@ -317,3 +317,94 @@ class TestCidCmapParser:
         # CID widths 250/1000 em x 24pt x 3 glyphs; identity (code-keyed)
         # lookup would miss and fall to DW 1000 -> 72pt
         assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(18.0, abs=1e-6)
+
+
+class TestPredefinedUnicodeCmaps:
+    """Predefined Uni*-(UCS2|UTF16)-[HV] CMaps BY NAME (no embedded
+    stream, no external table files): their defining structure — ISO
+    32000-1 §9.7.5.2, Adobe CMap resource docs — is that source codes
+    ARE UCS-2 / UTF-16BE code units, so TEXT must decode with no table
+    at all. Construction truth: the show strings below are the UTF-16BE
+    bytes of the expected text. Widths stay at /DW (the code→CID table
+    is external data we don't ship — metrics-only delta, text exact)."""
+
+    @staticmethod
+    def _named_type0(enc: bytes, tounicode: bytes | None = None) -> list:
+        objs = [
+            (
+                3,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding " + enc
+                + b" /DescendantFonts [4 0 R]"
+                + (b" /ToUnicode 7 0 R" if tounicode else b"")
+                + b" >>",
+            ),
+            (4, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CJK /DW 1000 >>"),
+            (5, b"<< >>"),
+            (6, b"<< >>"),
+        ]
+        if tounicode:
+            objs.append((7, _STREAM % (len(tounicode), tounicode)))
+        else:
+            objs.append((7, b"<< >>"))  # xref needs contiguous obj numbers
+        return objs
+
+    def test_ucs2_name_decodes_text_without_tounicode(self):
+        # '中文' = U+4E2D U+6587 → UTF-16BE 4E2D 6587
+        ln = _only_line(
+            _build(
+                self._named_type0(b"/UniGB-UCS2-H"),
+                b"BT /F1 24 Tf 72 700 Td (\x4e\x2d\x65\x87) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "中文"
+        # widths fall back to DW 1000: 2 glyphs x 24pt
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(48.0, abs=1e-6)
+
+    def test_utf16_name_decodes_surrogate_pair(self):
+        # U+20BB7 (𠮷) → UTF-16BE D842 DFB7 (4-byte code), then 'あ'
+        ln = _only_line(
+            _build(
+                self._named_type0(b"/UniJIS-UTF16-H"),
+                b"BT /F1 24 Tf 72 700 Td (\xd8\x42\xdf\xb7\x30\x42) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "\U00020bb7あ"
+        # 2 glyphs (the pair is ONE code) x DW 1000 x 24pt
+        assert ln["bbox"][2] - ln["bbox"][0] == pytest.approx(48.0, abs=1e-6)
+
+    def test_tounicode_still_wins_over_structural_decode(self):
+        """When a ToUnicode CMap IS present it stays the text
+        authority (real-corpus behavior): the structural decode only
+        fills codes ToUnicode does not map."""
+        tou = b"begincmap\n1 beginbfchar <4E2D> <0051> endbfchar\nendcmap"
+        ln = _only_line(
+            _build(
+                self._named_type0(b"/UniGB-UCS2-H", tounicode=tou),
+                b"BT /F1 24 Tf 72 700 Td (\x4e\x2d\x65\x87) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "Q文"
+
+    def test_lone_surrogate_replacement_and_legacy_name_identity(self):
+        # lone high surrogate in a UCS2 stream → replacement glyph
+        ln = _only_line(
+            _build(
+                self._named_type0(b"/UniKS-UCS2-H"),
+                b"BT /F1 24 Tf 72 700 Td (\xd8\x00\xac\x00) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "�가"
+        # a LEGACY predefined name (external table data) keeps the old
+        # identity fallback: unmapped codes render as replacement
+        ln2 = _only_line(
+            _build(
+                self._named_type0(b"/90ms-RKSJ-H"),
+                b"BT /F1 24 Tf 72 700 Td (\x4e\x2d) Tj ET",
+                8,
+            )
+        )
+        assert ln2["text"] == "�"
