@@ -87,8 +87,14 @@ def stream_extract(
         # url-level idempotency: the file source dedups FILES, but a
         # crawler can re-ship an already-extracted url in a new file;
         # the same anti-join the batch resume path uses makes the
-        # streaming commit exactly-once per url
-        pending = pio.filter_pending(batch_df, out_dir)
+        # streaming commit exactly-once per url. The anti-join only
+        # sees COMMITTED urls, so a re-ship landing in the SAME
+        # micro-batch as its original still duplicates — found by the
+        # checkpoint-kill fuzz (tools/fuzz_sweep.py --stream-warc) —
+        # hence the within-batch dropDuplicates; its shuffle is
+        # bounded by micro-batch size (maxFilesPerTrigger), never the
+        # corpus
+        pending = pio.filter_pending(batch_df, out_dir).dropDuplicates(["url"])
         result = extract_pages(pending, keep_failed=True)
         # lineage="observe": counts ride the micro-batch write and the
         # manifest merges cumulatively — a post-write rescan here would

@@ -169,12 +169,173 @@ def _one(task: tuple[int, int]) -> dict:
     return {"kind": kind, "outcome": outcome, "err": err, "sec": elapsed}
 
 
+def stream_warc_mode(trials: int, seed: int) -> int:
+    """Checkpoint-kill fuzz of the WARC STREAMING edge (VERDICT r4 #8):
+    per trial, land a random subset of deterministic archives (some
+    mutated — the reader is record-tolerant, proven never to raise on
+    the mutation classes), start the landing-dir stream with 1-file
+    micro-batches, KILL it at a random point mid-landing, land the
+    remaining archives plus a re-shipped duplicate under a new
+    filename, restart from the checkpoint, and drain.
+
+    Contract (same orderly-failure bar as the byte-level sweep):
+      - the RESUMED query must never fail (exceptions during the kill
+        phase are the point of the kill and are swallowed);
+      - the committed table holds every url exactly ONCE (file-source
+        checkpoint + url anti-join survive a mid-batch kill);
+      - the url set equals BATCH truth: what iter_warc_records +
+        http_response_body extract from the landed bytes directly —
+        streaming twin parity under kill, corruption, and re-ship.
+    """
+    import shutil
+    import tempfile
+
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.sources.warc import http_response_body, iter_warc_records
+    from pdf_extractor_spark.streaming.pipeline import (
+        stream_extract,
+        stream_warc_pages,
+    )
+
+    spark = get_spark("fuzz_stream_warc", shuffle_partitions=8)
+    t0 = time.monotonic()
+    kills_mid = 0
+    replays = 0
+    for t in range(trials):
+        rng = random.Random(seed * 9_973 + t)
+        rows = corpus.build_pages_rows(48, seed=500 + t)
+        archives: list[tuple[str, bytes]] = []
+        for k in range(6):
+            gz = rng.random() < 0.5
+            data = corpus.rows_to_warc(rows[k * 8 : (k + 1) * 8], member_gzip=gz)
+            if rng.random() < 0.35:
+                data = _mutate(rng, data)
+            archives.append((f"a{k}.warc" + (".gz" if gz else ""), data))
+        base = Path(tempfile.mkdtemp(prefix="fuzz_stream_warc_"))
+        land = base / "landing"
+        land.mkdir()
+        out, ckpt = str(base / "out"), str(base / "ckpt")
+        n_first = rng.randrange(1, len(archives))
+        for name, data in archives[:n_first]:
+            (land / name).write_bytes(data)
+        try:
+            q = stream_extract(
+                stream_warc_pages(spark, str(land), max_files=1), out, ckpt, n_buckets=4
+            )
+            time.sleep(rng.random() * 2.0)
+            try:
+                q.stop()  # the kill — mid-batch half the time
+                q.awaitTermination()
+            except Exception:
+                kills_mid += 1  # interrupted batch: exactly what we test recovery from
+            # harsher deterministic fault (q.stop() is graceful): with
+            # p=0.5 delete the LATEST checkpoint commit file, the exact
+            # disk state a crash between the data commit and the
+            # checkpoint commit leaves — the restart must REPLAY that
+            # batch and the committed-url anti-join must absorb it
+            commits = Path(ckpt) / "commits"
+            if rng.random() < 0.5 and commits.exists():
+                nums = sorted(
+                    (int(p.name), p) for p in commits.iterdir() if p.name.isdigit()
+                )
+                if nums:
+                    _n, p = nums[-1]
+                    p.unlink()
+                    (commits / f".{p.name}.crc").unlink(missing_ok=True)
+                    replays += 1
+            for name, data in archives[n_first:]:
+                (land / name).write_bytes(data)
+            dup_name, dup_data = archives[rng.randrange(len(archives))]
+            (land / f"reship_{dup_name}").write_bytes(dup_data)
+            # the resume: MUST drain cleanly whatever state the kill left
+            try:
+                q = stream_extract(
+                    stream_warc_pages(spark, str(land), max_files=2),
+                    out,
+                    ckpt,
+                    n_buckets=4,
+                )
+                q.awaitTermination()
+            except Exception as exc:
+                print(
+                    f"FAIL trial {t}: resume query failed "
+                    f"({type(exc).__name__}: {str(exc).splitlines()[0][:160]}) "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            want = set()
+            for _name, data in archives:  # the re-ship adds no new urls
+                for hdr, block in iter_warc_records(data):
+                    if hdr.get("warc-type") not in ("response", "resource"):
+                        continue
+                    u = hdr.get("warc-target-uri")
+                    if not u:
+                        continue
+                    payload = (
+                        http_response_body(block)
+                        if hdr.get("warc-type") == "response"
+                        else block
+                    )
+                    if payload is None:
+                        continue
+                    want.add(u)
+            got = [
+                r["url"]
+                for r in spark.read.parquet(out + "/result").select("url").collect()
+            ]
+            if len(got) != len(set(got)):
+                print(
+                    f"FAIL trial {t}: duplicate urls after kill-resume "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            if set(got) != want:
+                print(
+                    f"FAIL trial {t}: url set diverges from batch truth "
+                    f"(missing {sorted(want - set(got))[:3]}, "
+                    f"extra {sorted(set(got) - want)[:3]}) "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            shutil.rmtree(base, ignore_errors=True)
+        except Exception:
+            print(f"FAIL trial {t}: state kept at {base}", file=sys.stderr)
+            raise
+    print(
+        json.dumps(
+            {
+                "mode": "stream_warc_kill",
+                "trials": trials,
+                "seed": seed,
+                "kills_mid_batch": kills_mid,
+                "forced_batch_replays": replays,
+                "wall_sec": round(time.monotonic() - t0, 1),
+                "contract": "resume-clean + exactly-once + batch-truth parity",
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument(
+        "--stream-warc",
+        type=int,
+        default=0,
+        metavar="TRIALS",
+        help="run the WARC streaming checkpoint-kill sweep instead of "
+        "the byte-level mutant sweep",
+    )
     args = ap.parse_args()
+    if args.stream_warc:
+        return stream_warc_mode(args.stream_warc, args.seed)
 
     tasks = [(i, args.seed) for i in range(args.iters)]
     t0 = time.monotonic()
