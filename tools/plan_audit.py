@@ -167,6 +167,27 @@ AUDITS = [
         "per-row JVM projection: zero exchanges, zero aggregates — "
         "one row per url in, one out.",
     ),
+    (
+        "html_stats",
+        {"no_exchange": lambda p, sp: "Exchange" not in _tree(p),
+         "no_agg_or_window": lambda p, sp: "HashAggregate" not in _tree(p)
+         and "Window" not in _tree(p)},
+        "HTML flagship row: binaryFile fixture scan unioned with "
+        "generated-page synthesis, one extraction MapInPandas per "
+        "branch, then per-row JVM digest projections — zero "
+        "exchanges, zero aggregates; one row per url.",
+    ),
+    (
+        "warc_ingest_stats",
+        {"no_exchange": lambda p, sp: "Exchange" not in _tree(p),
+         "one_python_stage": lambda p, sp: _tree(p).count("MapInPandas") == 1,
+         "no_agg_or_window": lambda p, sp: "HashAggregate" not in _tree(p)
+         and "Window" not in _tree(p)},
+        "WARC ingest row: binaryFile archive scan → ONE record-"
+        "parsing MapInPandas (the production pages_from_warc path) → "
+        "per-row digest projection (md5/length/date_format) — "
+        "map-only end to end.",
+    ),
 ]
 
 
