@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=32, help="url-hash output buckets")
     ap.add_argument("--resume", action="store_true", help="skip urls already committed in --output")
-    ap.add_argument(
+    size_grp = ap.add_mutually_exclusive_group()
+    size_grp.add_argument(
         "--size-aware",
         action="store_true",
         help="force size-aware repartitioning with the explicit knobs "
@@ -43,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
         "(io.detect_heavy_tail) and engages itself with corpus-derived "
         "knobs; --no-size-aware disables the detection",
     )
-    ap.add_argument(
+    size_grp.add_argument(
         "--no-size-aware",
         action="store_true",
         help="disable automatic heavy-tail detection/repartitioning",
@@ -142,11 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         det = pio.detect_heavy_tail(pages)
         if det["heavy"]:
             # a "big" doc is one past the same multiple-of-mean that
-            # triggered detection; target keeps >= 4 waves of tasks
-            # per core for stragglers, but never below one giant
+            # triggered detection. Target: total/(4*cores) gives >= 4
+            # task waves on SMALL corpora, clamped at the explicit
+            # path's 64 MB default so per-task payload never grows
+            # with corpus size (uncapped, a 1 TB input would build
+            # ~GB-payload tasks); never below one giant-threshold doc
             big = pio.SIZE_AWARE_AUTO_FACTOR * max(det["mean_doc_bytes"], 1)
             par = spark.sparkContext.defaultParallelism
-            target = max(big, det["total_payload_bytes"] // (4 * par) or 1)
+            quota = det["total_payload_bytes"] // (4 * par) or 1
+            target = max(big, min(64 << 20, quota))
             pages, size_aware_stats = pio.size_aware_repartition(
                 pages,
                 target_partition_bytes=target,

@@ -176,11 +176,14 @@ def write_result(
         except Exception:
             # an EMPTY micro-batch (garbage-only archive / all re-ships)
             # executes zero tasks, so the CollectMetrics row never
-            # materializes — found by the checkpoint-kill fuzz. Zero
-            # rows written means zero lineage delta; the manifest merge
-            # keeps prior totals, and _manifest_is_stale rebuilds from
-            # the snapshot if this ever undercounts.
-            m = {}
+            # materializes — found by the checkpoint-kill fuzz. But an
+            # observe failure is not PROOF the batch was empty (a
+            # listener error on a non-empty batch would silently
+            # undercount the manifest forever if zeroed), so fall back
+            # to the rescan estimator: it recomputes cumulative truth
+            # from the committed snapshot, and itself tolerates a
+            # schemaless (never-written) table dir.
+            return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
         lineage_rows = []
         for b in range(n_buckets):
             rows_in = int(m.get(f"in_{b}") or 0)

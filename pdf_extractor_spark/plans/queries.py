@@ -1588,17 +1588,23 @@ def html_stats(spark, sf_dir):
     from ..operators.extract import extract_pages
 
     fix = _Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "html_golden"
-    fixtures = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.html")
-        .load(str(fix))
-        .select(
-            F.regexp_replace(
-                F.element_at(F.split("path", "/"), -1), r"\.html$", ""
-            ).alias("url"),
-            F.col("content").alias("html"),
+    fixtures = None
+    if fix.exists():
+        fixtures = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.html")
+            .load(str(fix))
+            .select(
+                F.regexp_replace(
+                    F.element_at(F.split("path", "/"), -1), r"\.html$", ""
+                ).alias("url"),
+                F.col("content").alias("html"),
+            )
         )
-    )
+    # else: shipped-zip context (tests/ not on disk) — the oracle
+    # generator returns None there too, so the query degrades to a
+    # rows-only run over the generated slice instead of crashing on a
+    # nonexistent path
 
     def gen(batches):
         import random
@@ -1620,7 +1626,8 @@ def html_stats(spark, sf_dir):
     gen_pages = spark.range(0, _HTML_STATS_N_GEN, 1, 8).mapInPandas(
         gen, schema="url string, html binary"
     )
-    res = extract_pages(fixtures.unionByName(gen_pages))
+    pages = gen_pages if fixtures is None else fixtures.unionByName(gen_pages)
+    res = extract_pages(pages)
     o = F.from_json(
         F.col("outline_json"),
         "struct<title:string, outline:array<struct<level:string,text:string,page:int>>>",
@@ -1686,6 +1693,8 @@ def _warc_stats_dir() -> str:
 
     from .. import corpus as corpus_mod
 
+    import os as _os
+
     d = _Path(tempfile.gettempdir()) / "pdfx_warc_ingest_stats_v1"
     d.mkdir(exist_ok=True)
     for k in range(_WARC_STATS_N_ARCH):
@@ -1694,9 +1703,15 @@ def _warc_stats_dir() -> str:
             for i in range(k * _WARC_STATS_N_PER, (k + 1) * _WARC_STATS_N_PER)
         ]
         gz = k % 2 == 0
-        (d / f"arch{k}.{'warc.gz' if gz else 'warc'}").write_bytes(
-            corpus_mod.rows_to_warc(rows, member_gzip=gz)
-        )
+        target = d / f"arch{k}.{'warc.gz' if gz else 'warc'}"
+        data = corpus_mod.rows_to_warc(rows, member_gzip=gz)
+        if target.exists() and target.stat().st_size == len(data):
+            continue  # bytes are deterministic: same size == same content
+        # temp-write + atomic rename: a concurrent session scanning the
+        # shared dir must never see a torn archive
+        tmp = target.with_suffix(target.suffix + f".tmp{_os.getpid()}")
+        tmp.write_bytes(data)
+        _os.replace(tmp, target)
     return str(d)
 
 

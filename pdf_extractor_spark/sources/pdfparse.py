@@ -400,12 +400,15 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
 _IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF"}
 
 # Predefined CMaps-by-name whose source codes are Unicode code units by
-# definition (ISO 32000-1 §9.7.5.2 table 118: the Uni<collection>-UCS2/
-# UTF16 families for Adobe-Japan1/GB1/CNS1/Korea1/KR) — text decodes
-# structurally, no external table needed. JIS2004/JISX0213 variants are
-# spelled UniJIS2004 / UniJISX0213 / UniJISX02132004.
+# definition (ISO 32000-1 §9.7.5.2 table 118 plus Adobe's cmap-resources
+# releases: the Uni<collection>-UCS2/UTF16 families for Adobe-Japan1/
+# GB1/CNS1/Korea1/KR) — text decodes structurally, no external table
+# needed. JIS2004/JISX0213 variants are spelled UniJIS2004 / UniJISX0213
+# / UniJISX02132004; the -HW (half-width-substitution) variants differ
+# only in glyph WIDTHS, the code→Unicode structure is identical.
 _PREDEF_UNICODE_CMAP = re.compile(
-    r"^Uni(?:JIS(?:2004|X0213(?:2004)?)?|GB|CNS|KS|AKR)-(?:UCS2|UTF16)-[HV]$"
+    r"^Uni(?:JIS(?:2004|X0213(?:2004)?)?|GB|CNS|KS|AKR)"
+    r"-(?:UCS2|UTF16)(?:-HW)?-[HV]$"
 )
 
 

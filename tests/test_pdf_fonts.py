@@ -408,3 +408,16 @@ class TestPredefinedUnicodeCmaps:
             )
         )
         assert ln2["text"] == "�"
+
+    def test_half_width_variant_name_decodes(self):
+        """UniJIS-UCS2-HW-H (ISO 32000-1 table 118: half-width glyph
+        substitution — WIDTH-only difference, identical UCS-2 code
+        structure) must decode structurally too."""
+        ln = _only_line(
+            _build(
+                self._named_type0(b"/UniJIS-UCS2-HW-H"),
+                b"BT /F1 24 Tf 72 700 Td (\x30\x42\x00A) Tj ET",
+                8,
+            )
+        )
+        assert ln["text"] == "あA"

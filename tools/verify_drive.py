@@ -148,7 +148,10 @@ def main() -> int:
     out_dir = tempfile.mkdtemp(prefix="pdfx_verify_drive_")
     try:
         summary = _build_and_drive(args.n, args.seed, args.cores, out_dir)
-        expect_failures = -(-args.n // 41)  # ceil: corrupt slice i%41==7
+        # corrupt slice is i % 41 == 7: count of such i in [0, n) —
+        # (n+33)//41, NOT ceil(n/41) (ceil overcounts by 1 whenever
+        # n mod 41 is in 1..7)
+        expect_failures = (args.n + 33) // 41
         ok = (
             summary["rows_in"] == args.n
             and summary["parse_failures"] == expect_failures
