@@ -70,6 +70,23 @@ def _build_seeds() -> dict[str, list[bytes]]:
             8,
         )
     )
+    # predefined Unicode CMap-by-name (structural UTF-16BE decode, r5)
+    named = [
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding "
+            b"/UniJIS-UTF16-H /DescendantFonts [4 0 R] >>",
+        ),
+        (4, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CJK /DW 1000 >>"),
+        (5, b"<< >>"),
+        (6, b"<< >>"),
+        (7, b"<< >>"),
+    ]
+    pdfs.append(
+        tpf._build(
+            named, b"BT /F1 24 Tf 72 700 Td (\xd8\x42\xdf\xb7\x30\x42\x4e\x2d) Tj ET", 8
+        )
+    )
     import test_pdfcrypt_fuzz as tcf  # rc4/aes encrypted fixtures
 
     crypt = [tcf._FIXTURES["rc4"], tcf._FIXTURES["aes"]]
