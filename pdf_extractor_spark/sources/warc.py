@@ -196,11 +196,22 @@ def parse_content_batches(batches):
                 payload = http_response_body(block) if rtype == "response" else block
                 if payload is None:
                     continue
-                ts = pd.to_datetime(headers.get("warc-date"), errors="coerce", utc=True)
+                # missing WARC-Date: pd.to_datetime(None, errors="coerce")
+                # returns None (not NaT) — calling .tz_localize on it
+                # killed the task for ANY record lacking the header
+                # (found by the streaming kill-fuzz soak)
+                raw_ts = headers.get("warc-date")
+                ts = (
+                    pd.to_datetime(raw_ts, errors="coerce", utc=True)
+                    if raw_ts
+                    else None
+                )
                 rows.append(
                     {
                         "url": url,
-                        "warc_ts": None if ts is pd.NaT else ts.tz_localize(None),
+                        "warc_ts": None
+                        if ts is None or ts is pd.NaT
+                        else ts.tz_localize(None),
                         "html": payload,
                         "text": None,
                         "lang": None,

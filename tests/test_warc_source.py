@@ -249,3 +249,28 @@ class TestSparkSource:
             .collect()
         }
         assert via_warc == direct and len(via_warc) > 20
+
+
+class TestMissingHeaders:
+    def test_record_without_warc_date_yields_null_ts(self, spark, tmp_path):
+        """A response record missing WARC-Date must become a row with a
+        NULL warc_ts — not kill the task (pd.to_datetime(None,
+        errors='coerce') returns None, whose .tz_localize the old code
+        called; found by the streaming kill-fuzz soak)."""
+        payload = b"hello"
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n" % len(payload)
+        ) + payload
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x.example.com/nodate\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+        ) + http + b"\r\n\r\n"
+        (tmp_path / "nodate.warc").write_bytes(rec)
+        rows = pages_from_warc(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["url"] == "https://x.example.com/nodate"
+        assert rows[0]["warc_ts"] is None
+        assert bytes(rows[0]["html"]) == payload
