@@ -85,17 +85,84 @@ def _one(seed: int) -> dict:
     return {"seed": seed, "ok": True, "empty": False, "nbytes": len(exp_json)}
 
 
+def _one_testdata(row: tuple[int, str]) -> dict:
+    """Same comparison over the documents→spandoc adapter used by
+    __spark_entry__.entry (realistic corpus text, not random spans)."""
+    import contextlib
+    import io
+
+    import refimpl
+    from pdf_extractor_spark import corpus
+
+    extractor, t = _get_extractor()
+    doc_id, text = row
+    pages = corpus.spandoc_from_doc_row(doc_id, text)
+    with contextlib.redirect_stdout(io.StringIO()):
+        expected = t._run_reference(extractor, pages)
+    actual = refimpl.extract_document(pages)
+    if expected is None or actual is None:
+        ok = expected is None and actual is None
+        return {"seed": doc_id, "ok": ok, "empty": True}
+    exp_json = json.dumps(expected, indent=2, ensure_ascii=False)
+    act_json = refimpl.render_json(actual)
+    if exp_json != act_json:
+        return {"seed": doc_id, "ok": False, "empty": False, "ref": exp_json[:600], "ours": act_json[:600]}
+    return {"seed": doc_id, "ok": True, "empty": False, "nbytes": len(exp_json)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=12)
+    ap.add_argument(
+        "--testdata",
+        metavar="SF_DIR",
+        help="instead of random spandocs, compare on EVERY row of "
+        "SF_DIR/documents.parquet via the spandoc_from_doc_row adapter",
+    )
     args = ap.parse_args()
     if not REF.exists():
         print(json.dumps({"skipped": "reference repo not available"}))
         return 0
 
     t0 = time.time()
+    if args.testdata:
+        import duckdb
+
+        rows = (
+            duckdb.connect()
+            .execute(
+                f"select doc_id, text from read_parquet('{args.testdata}/documents.parquet')"
+                " order by doc_id"
+            )
+            .fetchall()
+        )
+        n_ok = n_empty = total_bytes = 0
+        with Pool(args.workers) as pool:
+            for res in pool.imap_unordered(_one_testdata, rows, chunksize=16):
+                if not res["ok"]:
+                    print(json.dumps({"verdict": "DIVERGENCE", **res}, ensure_ascii=False))
+                    return 1
+                n_ok += 1
+                n_empty += res["empty"]
+                total_bytes += res.get("nbytes", 0)
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "verdict": "byte-identical",
+                    "mode": "testdata",
+                    "sf_dir": args.testdata,
+                    "docs": len(rows),
+                    "empty_on_both": n_empty,
+                    "json_bytes_compared": total_bytes,
+                    "wall_sec": round(wall, 1),
+                }
+            )
+        )
+        return 0
+
     seeds = [args.seed * 1_000_003 + i for i in range(args.docs)]
     n_ok = n_empty = total_bytes = 0
     with Pool(args.workers) as pool:
