@@ -53,33 +53,50 @@ _NUMBERING_PATTERNS = [
     (r"[IVX]+\.", "I."),
 ]
 
+# One alternation replaces the per-pattern sequential try: Python `re`
+# attempts alternatives LEFT TO RIGHT at the anchor, so the first group
+# that matches is exactly the first pattern that would have matched in
+# _NUMBERING_PATTERNS order — including the "I." → 'A.' quirk
+# (analysis_new.py:35-40). `m.lastindex` is the matching alternative
+# (each alternative is one group; only one can participate).
+_NUMBERING_ALT = re.compile("|".join(f"({pat})" for pat, _ in _NUMBERING_PATTERNS))
+_NUMBERING_TAGS = [None] + [tag for _, tag in _NUMBERING_PATTERNS]
+_BOLD_RE = re.compile(r"bold|black|heavy|demi|semi")
+
 
 def featurize(blocks: pd.DataFrame) -> pd.DataFrame:
     """Pass 1 + derived columns, vectorized across all documents.
 
     Input must be ordered by (url, block_idx) — ordering is data, not
     an accident (SURVEY.md §1.2).
+
+    The text-derived columns are computed in ONE Python pass per row
+    (str.strip / str.isupper / str.istitle are the same Python-unicode
+    methods pandas' object-dtype ``.str`` accessors dispatch to
+    elementwise, analysis_new.py:8,30-33); `match(s, 0, 20)` truncates
+    the subject at endpos=20 exactly like the previous
+    ``.str.slice(0, 20)``.
     """
     df = blocks.copy()
-    text = df["text"].astype(object)
-    stripped = text.str.strip()
+    texts = df["text"].tolist()
+    n = len(texts)
+    stripped = [t.strip() for t in texts]
+    case = np.empty(n, dtype=object)
+    numbering = np.empty(n, dtype=object)
+    _num_match = _NUMBERING_ALT.match
+    for i, s in enumerate(stripped):
+        case[i] = "UPPER" if s.isupper() else ("Title Case" if s.istitle() else "Lower")
+        m = _num_match(s, 0, 20)
+        numbering[i] = _NUMBERING_TAGS[m.lastindex] if m is not None else None
     df["text"] = stripped
-    df["char_count"] = stripped.str.len().astype("int64")
-    df["is_bold"] = (
-        df["font_name"].str.lower().str.contains("bold|black|heavy|demi|semi", regex=True)
+    df["char_count"] = np.fromiter((len(s) for s in stripped), dtype=np.int64, count=n)
+    df["is_bold"] = np.fromiter(
+        (_BOLD_RE.search(f.lower()) is not None for f in df["font_name"].tolist()),
+        dtype=bool,
+        count=n,
     )
-    # isupper/istitle: Python semantics via object-dtype .str accessors
-    df["text_case"] = np.select(
-        [stripped.str.isupper(), stripped.str.istitle()],
-        ["UPPER", "Title Case"],
-        default="Lower",
-    )
-    head = stripped.str.slice(0, 20)
-    df["numbering"] = np.select(
-        [head.str.match(pat, na=False) for pat, _ in _NUMBERING_PATTERNS],
-        [tag for _, tag in _NUMBERING_PATTERNS],
-        default=None,
-    )
+    df["text_case"] = case
+    df["numbering"] = numbering
     g = df.groupby("url", sort=False)
     prev_page = g["page_num"].shift()
     prev_y1 = g["y1"].shift()

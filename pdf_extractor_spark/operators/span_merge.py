@@ -34,13 +34,80 @@ def merge_doc_spans(pages: list[dict]) -> tuple[list[tuple], float]:
       - page_width read from page 0 only (:24-26)
     """
     out: list[tuple] = []
+    append = out.append
     page_width = 0.0
     for pno, page in enumerate(pages):
         if pno == 0:
             page_width = float(page.get("width", 0.0))
         for block in page.get("blocks", []):
             for line in block:
-                _fold_line(line, pno, out)
+                # Inlined _fold_line with scalar locals (the tuple
+                # pack/unpack per span dominated the fold's cost);
+                # byte-identical semantics incl. max()'s NaN handling —
+                # max(nan, 2) is nan, so a NaN size must keep rejecting
+                # the run-continuation test exactly as before.
+                text = None
+                for sp in line:
+                    txt = sp["text"]
+                    if not txt.strip():
+                        continue
+                    bx = sp["bbox"]
+                    if text is None:
+                        font = sp["font"]
+                        size = sp["size"]
+                        text = txt
+                        x0 = bx[0]
+                        y0 = bx[1]
+                        x1 = bx[2]
+                        y1 = bx[3]
+                        italic = "italic" in font.lower()
+                        continue
+                    spf = sp["font"]
+                    sps = sp["size"]
+                    if not (
+                        spf == font
+                        and abs(sps - size) <= 1.0
+                        and abs(bx[1] - y0) <= max(size * 0.2, 2)
+                    ):
+                        if text.strip():
+                            append((pno, text, size, font, x0, y0, x1, y1, italic))
+                        font = spf
+                        size = sps
+                        text = txt
+                        x0 = bx[0]
+                        y0 = bx[1]
+                        x1 = bx[2]
+                        y1 = bx[3]
+                        italic = "italic" in font.lower()
+                        continue
+                    gap = bx[0] - x1
+                    if gap < 0 or gap <= size * 0.3:
+                        text = text + txt
+                    elif gap <= size * 1.5:
+                        text = text + " " + txt
+                    else:
+                        # flush + restart WITHOUT bbox union (:51-73)
+                        if text.strip():
+                            append((pno, text, size, font, x0, y0, x1, y1, italic))
+                        font = spf
+                        size = sps
+                        text = txt
+                        x0 = bx[0]
+                        y0 = bx[1]
+                        x1 = bx[2]
+                        y1 = bx[3]
+                        italic = "italic" in font.lower()
+                        continue
+                    if bx[0] < x0:
+                        x0 = bx[0]
+                    if bx[1] < y0:
+                        y0 = bx[1]
+                    if bx[2] > x1:
+                        x1 = bx[2]
+                    if bx[3] > y1:
+                        y1 = bx[3]
+                if text is not None and text.strip():
+                    append((pno, text, size, font, x0, y0, x1, y1, italic))
     return out, page_width
 
 
@@ -51,6 +118,9 @@ def _start(sp: dict[str, Any]) -> tuple:
 
 
 def _fold_line(line: list[dict[str, Any]], pno: int, out: list[tuple]) -> None:
+    """Readable spec form of the fold; merge_doc_spans inlines this
+    loop with scalar locals for speed (kept in lockstep — the
+    property-based suite cross-checks the two on every run)."""
     state = None  # (text, x0, y0, x1, y1, font, size, italic)
 
     def emit() -> None:

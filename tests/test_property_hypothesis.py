@@ -136,6 +136,62 @@ def test_full_pipeline_property(doc_specs):
         assert got.get(url) == exp, url
 
 
+def _fold_via_spec(pages):
+    """Fold every line with the readable _fold_line spec form — the
+    twin merge_doc_spans inlines for speed."""
+    out: list[tuple] = []
+    page_width = 0.0
+    for pno, page in enumerate(pages):
+        if pno == 0:
+            page_width = float(page.get("width", 0.0))
+        for block in page.get("blocks", []):
+            for line in block:
+                span_merge._fold_line(line, pno, out)
+    return out, page_width
+
+
+# NaN sizes exercise the max(nan, 2)/comparison-ordering semantics the
+# inline fold must preserve (json.loads accepts NaN, so a mutated
+# spandoc can carry one).
+_span_nan = st.fixed_dictionaries(
+    {
+        "text": st.sampled_from(_TEXTS),
+        "font": st.sampled_from(_FONTS),
+        "size": st.sampled_from([7.5, 10.0, 24.0, float("nan")]),
+        "x0": st.one_of(st.floats(0, 500, allow_nan=False, width=32), st.just(float("nan"))),
+        "dx": st.sampled_from([0.0, 2.0, 16.0, 60.0, float("nan")]),
+        "w": st.floats(1, 200, allow_nan=False, width=32),
+        "dy": st.sampled_from([0.0, 2.0, 5.0]),
+    }
+)
+_doc_nan = st.lists(
+    st.lists(st.lists(st.lists(_span_nan, min_size=1, max_size=5), min_size=1, max_size=3),
+             min_size=0, max_size=4),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _nan_eq(a, b):
+    return a == b or (isinstance(a, float) and isinstance(b, float) and a != a and b != b)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_doc_nan)
+def test_span_merge_inline_matches_spec(doc_spec):
+    """The inlined fold in merge_doc_spans ≡ the _fold_line spec form,
+    including NaN geometry/size propagation."""
+    pages = _materialize(doc_spec)
+    inline_blocks, inline_width = span_merge.merge_doc_spans(pages)
+    spec_blocks, spec_width = _fold_via_spec(pages)
+    assert inline_width == spec_width
+    assert len(inline_blocks) == len(spec_blocks)
+    for ib, sb in zip(inline_blocks, spec_blocks):
+        assert len(ib) == len(sb)
+        for x, y in zip(ib, sb):
+            assert _nan_eq(x, y), (ib, sb)
+
+
 @settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     lines=st.lists(
