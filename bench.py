@@ -1096,6 +1096,14 @@ constants weigh more. A 4×-executor cluster of separate hosts does
 not share one socket's bandwidth, which is why the normalized column
 is the transferable number.
 
+Code epoch note (round 5, commit 1e09445): a late-round hot-path
+optimization (featurize single-pass + inlined span-merge fold, byte-
+identical output, ~37% per-core extraction throughput) made post-epoch
+invocations run a faster per-document stage. Accumulated floors mix
+epochs transparently — the min simply moves to the faster epoch as
+post-change invocations land — and the same Amdahl reading applies:
+faster compute can only shrink raw e2e efficiency, never inflate it.
+
 Reproduce: `python bench.py --scaling`
 (SPARK_GRAFT_SCALING_DOCS, default {out["n_docs"]};
 SPARK_GRAFT_SCALING_ROUNDS env-var default 2 per invocation —
