@@ -22,11 +22,51 @@ result is the oracle for the availableNow streaming run).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_pages
 from ..schemas import PAGES_SCHEMA
+
+# HDFSMetadataLog write-temp: ".<batchId>.<uuid>.tmp", renamed to
+# "<batchId>" on commit. One that still exists was never renamed,
+# i.e. never committed.
+_METADATA_TMP_RE = re.compile(r"^\.\d+\.[0-9a-fA-F-]+\.tmp$")
+
+
+def sanitize_checkpoint(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Remove uncommitted metadata-log temp files left by a crash.
+
+    Spark's offset/commit logs write ``.<batchId>.<uuid>.tmp`` then
+    rename to ``<batchId>``; a kill between the two leaves the temp
+    behind. Usually harmless — but if the crash landed before the
+    FIRST offset commit, restart sees no committed batch, classifies
+    the query as NEW, and ``verifyNewCheckpointDirectory`` fails with
+    STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY because the offsets dir
+    is non-empty: the query is permanently unrestartable without
+    manual cleanup (found by tools/fuzz_sweep.py --stream-warc, seed
+    987654 trial 13). A surviving temp was by construction never
+    committed, so deleting it is always safe; committed batch files
+    (bare digits) are never touched. Goes through the Hadoop
+    FileSystem API so the same cleanup works on hdfs://, s3a:// and
+    file: checkpoints. Returns the number of temp files removed.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for sub in ("offsets", "commits"):
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, sub)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            continue
+        for status in fs.listStatus(path):
+            name = status.getPath().getName()
+            if _METADATA_TMP_RE.match(name):
+                fs.delete(status.getPath(), False)
+                removed += 1
+    return removed
 
 
 def stream_pages(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
@@ -82,6 +122,10 @@ def stream_extract(
     lineage manifest), so downstream consumers cannot tell whether a
     snapshot was produced by the batch or the streaming job."""
     from .. import io as pio
+
+    # crash-recovery: clear uncommitted metadata-log temps so a kill
+    # that landed mid-first-offset-commit doesn't brick the restart
+    sanitize_checkpoint(pages_stream.sparkSession, checkpoint_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         # url-level idempotency: the file source dedups FILES, but a

@@ -87,6 +87,45 @@ def test_stream_extract_is_restartable(spark, tmpdirs):
     assert len(set(urls)) == 80
 
 
+def test_stream_extract_resumes_after_first_offset_commit_crash(spark, tmpdirs):
+    """A kill between the offset log's temp write and its rename leaves
+    ``.0.<uuid>.tmp`` in ckpt/offsets with NO committed batch; Spark 4
+    then classifies the restart as a NEW query and fails it with
+    STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY — permanently, until
+    someone hand-deletes the temp (fuzz_sweep --stream-warc seed
+    987654, trial 13). stream_extract must self-heal that state."""
+    import os
+
+    _write_pages(spark, tmpdirs["pages"], 60, seed=11, files=3)
+
+    # construct the crash debris exactly as HDFSMetadataLog leaves it
+    offsets = Path(tmpdirs["ckpt"]) / "offsets"
+    offsets.mkdir(parents=True)
+    tmp = offsets / f".0.{uuid.uuid4()}.tmp"
+    tmp.touch()
+    # the batch-0 metadata file exists (written before the offset log)
+    (Path(tmpdirs["ckpt"]) / "metadata").write_text('{"id":"' + str(uuid.uuid4()) + '"}')
+
+    stream = STRM.stream_pages(spark, tmpdirs["pages"], max_files=2)
+    q = STRM.stream_extract(stream, tmpdirs["out"], tmpdirs["ckpt"], n_buckets=8)
+    q.awaitTermination(300)
+    assert not tmp.exists()  # debris removed, not worked around
+
+    got = pio.read_result(spark, tmpdirs["out"], include_failed=True).collect()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)) == 60  # drained, exactly once
+
+    # committed metadata-log entries must survive sanitation: rerun over
+    # the same checkpoint with a real offsets/0 present is a no-op
+    from pdf_extractor_spark.streaming.pipeline import sanitize_checkpoint
+
+    committed = {p.name for p in offsets.iterdir() if not p.name.startswith(".")}
+    assert committed  # the drained run committed at least batch 0
+    assert sanitize_checkpoint(spark, tmpdirs["ckpt"]) == 0
+    assert {p.name for p in offsets.iterdir() if not p.name.startswith(".")} == committed
+    assert os.path.isdir(tmpdirs["ckpt"])
+
+
 def test_streaming_aggregations_run_with_watermark(spark, tmp_path):
     """windowed + session aggregations execute on a real stream (memory
     sink, availableNow) and agree with their batch twins."""
