@@ -218,6 +218,7 @@ def stream_warc_mode(trials: int, seed: int) -> int:
     t0 = time.monotonic()
     kills_mid = 0
     replays = 0
+    planted = 0
     for t in range(trials):
         rng = random.Random(seed * 9_973 + t)
         rows = corpus.build_pages_rows(48, seed=500 + t)
@@ -260,6 +261,24 @@ def stream_warc_mode(trials: int, seed: int) -> int:
                     p.unlink()
                     (commits / f".{p.name}.crc").unlink(missing_ok=True)
                     replays += 1
+            # second deterministic fault (defect #5's disk state): a
+            # crash between a metadata log's temp write and its rename
+            # leaves .{batch}.{uuid}.tmp behind; when NO batch ever
+            # committed, Spark 4 refuses the restart outright
+            # (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) —
+            # sanitize_checkpoint must sweep the debris either way
+            if rng.random() < 0.4:
+                offsets = Path(ckpt) / "offsets"
+                tgt = offsets if rng.random() < 0.7 else commits
+                tgt.mkdir(parents=True, exist_ok=True)
+                nums2 = [int(p.name) for p in tgt.iterdir() if p.name.isdigit()]
+                nxt = (max(nums2) + 1) if nums2 else 0
+                fake_uuid = "%08x-dead-beef-cafe-%012x" % (
+                    rng.getrandbits(32),
+                    rng.getrandbits(48),
+                )
+                (tgt / f".{nxt}.{fake_uuid}.tmp").write_bytes(b"")
+                planted += 1
             for name, data in archives[n_first:]:
                 (land / name).write_bytes(data)
             dup_name, dup_data = archives[rng.randrange(len(archives))]
@@ -329,6 +348,7 @@ def stream_warc_mode(trials: int, seed: int) -> int:
                 "seed": seed,
                 "kills_mid_batch": kills_mid,
                 "forced_batch_replays": replays,
+                "planted_tmp_debris": planted,
                 "wall_sec": round(time.monotonic() - t0, 1),
                 "contract": "resume-clean + exactly-once + batch-truth parity",
             }
