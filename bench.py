@@ -596,7 +596,7 @@ def scaling_mode() -> None:
     state = {"total_rounds": 0, "ceiling": 0.0, "e2e": {}, "compute": {}, "best_runs": {}}
     if state_path.exists():
         state = json.loads(state_path.read_text())
-    if state.get("n_docs") not in (None, n_docs) or state.get("protocol_v") != 4:
+    if state.get("n_docs") not in (None, n_docs) or state.get("protocol_v") not in (4, 5):
         # v4: analyzer batch-column + shared-font-cache speedups change
         # per-doc cost; v3: bucketed input corpus + shuffle-free write + real-PDF
         # corpus slice — prior accumulated minima measured a different
@@ -611,8 +611,27 @@ def scaling_mode() -> None:
             "best_runs": {},
             "xcheck": state.get("xcheck", {}),
         }
+    if state.get("protocol_v") == 4:
+        # v5 (round 5): write_result's one-shot batch lineage moved off
+        # the 3·n_buckets-expression CollectMetrics observe (a per-row
+        # drag evaluated outside whole-stage codegen, ~3 s at 480k docs
+        # / local[32]) onto a single fused post-write pruned rescan —
+        # the e2e job got genuinely cheaper, so its v4 floors measured
+        # a DIFFERENT job and are archived (kept verbatim for audit)
+        # rather than mixed into v5 minima. The compute-stage job
+        # (scan → extract → count) and the host ceiling/xcheck probes
+        # are byte-identical across v4/v5, so their accumulated
+        # evidence carries over.
+        state["v4_archive"] = {
+            "best_runs": state.get("best_runs", {}),
+            "invocations": state.get("invocations", []),
+            "total_rounds": state.get("total_rounds", 0),
+        }
+        state["best_runs"] = {}
+        state["invocations"] = []
+        state["total_rounds"] = 0
     state["n_docs"] = n_docs
-    state["protocol_v"] = 4
+    state["protocol_v"] = 5
     if state.get("ceiling_v") != 2:
         # ceiling probe v2 (full per-document pipeline incl. analyzer)
         # replaces the parse-only v1 probe, whose best-ever 0.917 was
@@ -882,7 +901,13 @@ Host mp.Pool ceiling at this pair and independent non-repo probes
 |---|---|---|
 {xrows}
 
-State: BENCH/scaling_state_{lo}_{hi}.json.
+State: BENCH/scaling_state_{lo}_{hi}.json. Floors are protocol-v5
+(round-5 write path: fused pruned-rescan lineage instead of the
+per-row CollectMetrics observe); the v4-epoch floors, which measured
+the older slower write, are archived verbatim in the state file's
+`v4_archive` — see BENCH/BASELINE.md "Reading raw vs normalized
+across protocol versions" for why minima are never mixed across
+write-path epochs.
 Reproduce: `SPARK_GRAFT_SCALING_PAIR={lo},{hi} python bench.py --scaling`.
 """
     (_REPO / "BENCH" / f"SCALING_{lo}_{hi}.md").write_text(md, encoding="utf-8")
@@ -1085,6 +1110,21 @@ executor counts scale independent of per-host frequency effects.
 
 ### Reading raw vs normalized across protocol versions
 
+Protocol v5 (round 5) re-accumulates the e2e floors from zero:
+write_result's one-shot batch lineage moved off the 96-expression
+CollectMetrics observe — a per-row drag evaluated OUTSIDE whole-stage
+codegen, measured at ~3 s over 480k docs at local[32] (interleaved-min
+decomposition: observe write 19.8 s vs the byte-identical partitionBy
+write 16.9 s) but only ~0.8 s at local[8], i.e. the removed work was
+bandwidth-bound and taxed the 4N level hardest — onto one fused
+post-write pruned rescan (~0.5 s, error-class triage in the same
+job). The v4 floors measured that older, slower write path; they are
+archived verbatim in scaling_state.json `v4_archive`
+(e2e 35.86 s / 13.06 s over 418 invocations → raw 0.686) rather than
+mixed into v5 minima, because a min over two different jobs is a
+floor of neither. The compute-stage job and every host probe are
+byte-identical across v4/v5, so those floors carry over.
+
 Protocol v3 (round-2 code before the Arrow-stage speedup) measured
 raw e2e 0.81; v4 measures the SAME pipeline after the extraction
 stage got ~2.5× faster per document — and raw efficiency DROPPED.
@@ -1117,11 +1157,25 @@ the table above accumulates {out["rounds"]} rounds across sessions).
             t_lo = st["best_runs"][str(lo_c)]["elapsed_sec"]
             t_hi = st["best_runs"][str(hi_c)]["elapsed_sec"]
             raw = round(t_lo / (4 * t_hi), 3)
+            # annotate which write-path epoch the floors measured, so a
+            # mid-migration snapshot can't pass off v4 floors as v5
+            epoch = f" [protocol v{st.get('protocol_v')}]" if st.get("protocol_v") != 5 else ""
+            arch = st.get("v4_archive", {}).get("best_runs", {})
+            arch_note = ""
+            if arch:
+                a_lo = arch.get(str(lo_c), {}).get("elapsed_sec")
+                a_hi = arch.get(str(hi_c), {}).get("elapsed_sec")
+                if a_lo and a_hi:
+                    arch_note = (
+                        f"; v4-archive floors {a_lo} s / {a_hi} s → raw "
+                        f"{round(a_lo / (4 * a_hi), 3)} over "
+                        f"{len(st.get('v4_archive', {}).get('invocations', []))} invocations"
+                    )
             small_lines.append(
                 f"- local[{lo_c}] vs local[{hi_c}]: **raw e2e {raw} "
-                f"{'PASS' if raw >= 0.8 else 'FAIL'}** (floors {t_lo} s / "
+                f"{'PASS' if raw >= 0.8 else 'FAIL'}**{epoch} (floors {t_lo} s / "
                 f"{t_hi} s over {len(st.get('invocations', []))} "
-                f"invocations) — `BENCH/SCALING_{lo_c}_{hi_c}.md`"
+                f"invocations{arch_note}) — `BENCH/SCALING_{lo_c}_{hi_c}.md`"
             )
         except (KeyError, ValueError, IndexError):
             continue

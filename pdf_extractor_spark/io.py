@@ -92,17 +92,28 @@ def write_result(
     entire result table across the cluster per run.
 
     ``lineage`` selects how per-bucket counts are produced:
-    ``"observe"`` rides the write itself (CollectMetrics, zero extra
-    IO — mandatory for repeated appends like the streaming commit,
-    where a post-write rescan would re-aggregate the ENTIRE committed
-    table on every micro-batch); ``"rescan"`` re-reads the committed
-    snapshot column-pruned (measured cheaper for one-shot batch
-    writes, and append mode re-derives cumulative totals for free);
-    ``"auto"`` picks observe when ``input_bucketed`` else rescan.
+    ``"observe"`` rides the write itself (CollectMetrics — mandatory
+    for repeated appends like the streaming commit, where a post-write
+    rescan would re-aggregate the ENTIRE committed table on every
+    micro-batch, i.e. O(corpus) per trigger); ``"rescan"`` re-reads
+    the committed snapshot column-pruned. For ONE-SHOT batch writes
+    the rescan is the fast path: CollectMetricsExec evaluates its
+    3·n_buckets conditional-sum expressions per row OUTSIDE
+    whole-stage codegen, a drag measured at ~3 s over 480k docs at
+    local[32] (interleaved-min decomposition: observe write 19.8 s vs
+    the identical partitionBy write 16.9 s), while the replacement —
+    one pruned aggregation over 4 thin columns of the just-committed
+    snapshot, error-class triage fused into the same job — costs
+    ~0.5 s and shrinks as a fraction of job time at scale.
+    ``"auto"`` picks observe only for bucketed appends (resume into a
+    large committed table: observe is O(batch), rescan O(table));
+    every other combination rescans.
     """
     if lineage not in ("auto", "observe", "rescan"):
         raise ValueError(f"unknown lineage mode {lineage!r}")
-    use_observe = lineage == "observe" or (lineage == "auto" and input_bucketed)
+    use_observe = lineage == "observe" or (
+        lineage == "auto" and input_bucketed and mode == "append"
+    )
     t_write0 = time.time()
     table_dir = os.path.join(out_dir, "result")
     # `ok` is a PARTITION column (parse_ok stays in the data files for
@@ -208,17 +219,16 @@ def write_result(
     # then writes into exactly one bucket dir (one file per bucket,
     # not tasks×buckets tiny files — measured 13s vs 0s of overhead at
     # 240k docs/32 cores), and the shuffle overlaps the extraction
-    # stage, so the write costs ~nothing end-to-end. In production the
-    # input arrives bucket-partitioned (Iceberg bucket(N, url)) and
-    # this shuffle disappears entirely.
+    # stage, so the write costs ~nothing end-to-end. When the input
+    # arrives bucket-partitioned (Iceberg bucket(N, url) ingest shape)
+    # every scan task already holds exactly one bucket, so the
+    # exchange is skipped and the whole job stays shuffle-free.
     # mode="append" is the resume path: filter_pending already removed
     # committed urls, so appending is idempotent at url granularity
-    (
-        bucketed.repartition(n_buckets, "bucket")
-        .write.mode(mode)
-        .partitionBy(*part_cols)
-        .parquet(table_dir)
+    to_write = (
+        bucketed if input_bucketed else bucketed.repartition(n_buckets, "bucket")
     )
+    to_write.write.mode(mode).partitionBy(*part_cols).parquet(table_dir)
     return _finish_lineage(result, out_dir, table_dir, n_buckets, t_write0)
 
 
@@ -246,19 +256,19 @@ def _manifest_is_stale(out_dir: str, table_dir: str, spark: SparkSession) -> boo
 def _finish_lineage(
     result: DataFrame, out_dir: str, table_dir: str, n_buckets: int, t_write0: float
 ) -> dict:
-    # Per-bucket lineage from the committed snapshot with an explicit
-    # 3-thin-column scan (bucket is a partition column — free). This
-    # measured CHEAPER than collecting the same metrics during the
-    # write via df.observe (0.8s vs 1.9s at 240k docs / 32 cores: 4N
-    # conditional-sum exprs per row beat a pruned columnar rescan),
-    # and append mode gets cumulative totals for free because the
-    # whole table is re-aggregated.
+    # Per-bucket lineage from the committed snapshot with ONE
+    # column-pruned aggregation job (bucket is a partition column —
+    # free; parse_ok/error/payload_bytes are the only data columns
+    # read). Error-class triage is FUSED into the same scan at grain
+    # (bucket, error_class) — error_class is NULL for successes, the
+    # message prefix extract.py records for failures — so the batch
+    # path pays one small job, not a rollup job plus a separate
+    # _error_classes job. The collect is bounded by
+    # n_buckets × (1 + n_error_classes) rows.
     t_write1 = time.time()
     spark = result.sparkSession
     try:
-        written = spark.read.parquet(table_dir).select(
-            "bucket", "parse_ok", "payload_bytes"
-        )
+        written = spark.read.parquet(table_dir)
     except Exception:
         # Nothing committed yet AND this write appended zero rows — a
         # normal streaming state (a micro-batch whose archives salvage
@@ -269,20 +279,44 @@ def _finish_lineage(
         return _write_manifest(
             out_dir, n_buckets, [], t_write0, t_write1, error_classes={}
         )
-    lineage = (
-        written.groupBy("bucket")
+    err_class = F.when(
+        ~F.col("parse_ok"),
+        F.substring_index(F.coalesce(F.col("error"), F.lit("unknown")), ":", 1),
+    )
+    grouped = (
+        written.groupBy("bucket", err_class.alias("error_class"))
         .agg(
-            F.count("*").alias("rows_in"),
-            F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("rows_out"),
-            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
+            F.count("*").alias("n"),
             F.sum("payload_bytes").alias("payload_bytes"),
         )
-        .orderBy("bucket")
+        .collect()
     )
-    lineage_rows = [r.asDict() for r in lineage.collect()]
+    per_bucket: dict[int, dict] = {}
+    error_classes: dict[str, int] = {}
+    for r in grouped:
+        b = per_bucket.setdefault(
+            int(r["bucket"]),
+            {
+                "bucket": int(r["bucket"]),
+                "rows_in": 0,
+                "rows_out": 0,
+                "parse_failures": 0,
+                "payload_bytes": 0,
+            },
+        )
+        b["rows_in"] += r["n"]
+        b["payload_bytes"] += int(r["payload_bytes"] or 0)
+        if r["error_class"] is None:
+            b["rows_out"] += r["n"]
+        else:
+            b["parse_failures"] += r["n"]
+            error_classes[r["error_class"]] = (
+                error_classes.get(r["error_class"], 0) + r["n"]
+            )
+    lineage_rows = [per_bucket[b] for b in sorted(per_bucket)]
     return _write_manifest(
         out_dir, n_buckets, lineage_rows, t_write0, t_write1,
-        error_classes=_error_classes(spark, table_dir),
+        error_classes=error_classes,
     )
 
 
