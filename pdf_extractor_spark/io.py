@@ -38,15 +38,30 @@ def _committed_partition_layout(
     must adopt the on-disk layout: mixing bucket-only (pre-upgrade)
     and bucket/ok directories in one table gives mixed partition
     depths, which Spark's partition discovery rejects outright
-    ('Conflicting directory structures')."""
+    ('Conflicting directory structures').
+
+    The verdict must come from ALL bucket dirs, not the first one
+    listdir happens to return: a killed job leaves EMPTY bucket dirs
+    (the committer mkdirs the destination before the per-file rename),
+    and deciding from such a debris dir would misclassify a bucket/ok
+    table as legacy bucket-only — the resumed append then writes
+    bucket-only files into it and every later read of the table fails
+    (found by the batch kill-and-resume fuzz). Empty dirs carry no
+    layout information (partition discovery only considers leaf
+    files); legacy layout is recognized by actual files directly under
+    a bucket dir."""
     if os.path.isdir(table_dir):
+        saw_legacy_files = False
         for entry in os.listdir(table_dir):
-            if entry.startswith("bucket="):
-                sub = os.path.join(table_dir, entry)
-                if any(e.startswith("ok=") for e in os.listdir(sub)):
+            if not entry.startswith("bucket="):
+                continue
+            sub = os.path.join(table_dir, entry)
+            for e in os.listdir(sub):
+                if e.startswith("ok="):
                     return ["bucket", "ok"]
-                return ["bucket"]
-        return None
+                if not e.startswith((".", "_")):
+                    saw_legacy_files = True
+        return ["bucket"] if saw_legacy_files else None
     if spark is None:
         return None
     # non-local table (hdfs://, s3a://, …): os.path can't see it — ask
@@ -57,13 +72,17 @@ def _committed_partition_layout(
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return None
+    saw_legacy_files = False
     for st in fs.listStatus(path):
-        if st.getPath().getName().startswith("bucket="):
-            for sub in fs.listStatus(st.getPath()):
-                if sub.getPath().getName().startswith("ok="):
-                    return ["bucket", "ok"]
-            return ["bucket"]
-    return None
+        if not st.getPath().getName().startswith("bucket="):
+            continue
+        for sub in fs.listStatus(st.getPath()):
+            name = sub.getPath().getName()
+            if name.startswith("ok="):
+                return ["bucket", "ok"]
+            if not name.startswith((".", "_")):
+                saw_legacy_files = True
+    return ["bucket"] if saw_legacy_files else None
 
 
 def write_result(
@@ -395,8 +414,15 @@ def _write_manifest(
         # signal an operator needs before re-running a 10^12-doc job
         "error_classes": dict(sorted((error_classes or {}).items())),
     }
-    with open(manifest_path, "w", encoding="utf-8") as f:
+    # tmp + atomic rename: a job killed mid-dump must never leave a
+    # torn manifest.json visible — readers either see the previous
+    # complete snapshot or the new one ( _manifest_is_stale already
+    # tolerates an unreadable file, but external consumers of the
+    # manifest should not have to)
+    tmp_path = manifest_path + ".tmp"
+    with open(tmp_path, "w", encoding="utf-8") as f:
         json.dump(snapshot, f, indent=2)
+    os.replace(tmp_path, manifest_path)
     return {
         **snapshot["totals"],
         "error_classes": snapshot["error_classes"],
