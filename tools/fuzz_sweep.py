@@ -357,6 +357,191 @@ def stream_warc_mode(trials: int, seed: int) -> int:
     return 0
 
 
+def batch_kill_mode(trials: int, seed: int) -> int:
+    """Kill-and-resume fuzz of the BATCH write path — the twin of
+    stream_warc_mode for the production `spark-submit` job. Per trial:
+    run the identical corpus uninterrupted into a truth table, then run
+    it again and CANCEL every Spark job at a random point mid-write
+    (sc.cancelAllJobs from a timer thread — the on-disk state a killed
+    job leaves: a random subset of task-committed files, _temporary
+    debris, empty destination dirs, no _SUCCESS, no/partial manifest).
+    Then layer on deterministic disk faults a real crash also produces
+    (truncated manifest.json, deleted _lineage, planted empty bucket
+    dirs, a deleted committed bucket, _temporary droppings), optionally
+    kill the FIRST resume attempt too, and finally resume to completion
+    via filter_pending + append — the exact CLI --resume path.
+
+    Contract:
+      - the final resume never raises;
+      - the resumed table is ROW-IDENTICAL (outline_json bytes
+        included) to the uninterrupted truth table;
+      - the cumulative manifest equals the truth manifest
+        (partitions + totals + error_classes);
+      - exactly-once per url.
+
+    Found (and now pinned by tests/test_round5_fixes.py): the
+    partition-layout probe misreading empty kill-debris bucket dirs as
+    the legacy layout, bricking the table on resume-append.
+    """
+    import shutil
+    import tempfile
+    import threading
+
+    from pdf_extractor_spark.io import filter_pending, read_result, write_result
+    from pdf_extractor_spark.operators.extract import extract_pages
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark("fuzz_batch_kill", shuffle_partitions=8)
+    sc = spark.sparkContext
+    n_docs = 400
+    t0 = time.monotonic()
+    kills_landed = 0
+    resume_kills = 0
+    faults = Counter()
+
+    def _rows(table_dir: str) -> list[str]:
+        df = spark.read.parquet(table_dir)
+        return sorted(df.select(sorted(df.columns)).toJSON().collect())
+
+    def _manifest(out_dir: str) -> dict:
+        m = json.loads(Path(out_dir, "_lineage", "manifest.json").read_text())
+        return {
+            "partitions": sorted(m["partitions"], key=lambda r: r["bucket"]),
+            "totals": m["totals"],
+            "error_classes": m.get("error_classes"),
+        }
+
+    for t in range(trials):
+        rng = random.Random(seed * 104_729 + t)
+        n_buckets = rng.choice([4, 8, 16])
+        lineage = rng.choice(["auto", "observe"])
+        bucketed_input = rng.random() < 0.25
+        base = Path(tempfile.mkdtemp(prefix="fuzz_batch_kill_"))
+        truth_dir, kill_dir = str(base / "truth"), str(base / "kill")
+        try:
+            if bucketed_input:
+                corpus.materialize_bucketed_corpus(
+                    spark, n_docs, str(base / "pages"), seed=900 + t,
+                    n_buckets=n_buckets, files_per_bucket=2,
+                )
+                pages = spark.read.parquet(str(base / "pages"))
+            else:
+                pages = corpus.distributed_pages(spark, n_docs, seed=900 + t)
+            tw0 = time.monotonic()
+            write_result(
+                extract_pages(pages), truth_dir, n_buckets=n_buckets,
+                lineage=lineage, input_bucketed=bucketed_input,
+            )
+            truth_t = time.monotonic() - tw0
+
+            def _killed_run(out_dir: str) -> bool:
+                """One write attempt with a randomly timed cancel;
+                True if the cancel landed (the write raised)."""
+                delay = rng.uniform(0.05, truth_t * 1.15)
+                timer = threading.Timer(delay, sc.cancelAllJobs)
+                timer.start()
+                try:
+                    write_result(
+                        extract_pages(filter_pending(pages, out_dir)),
+                        out_dir, n_buckets=n_buckets, lineage=lineage,
+                        input_bucketed=bucketed_input, mode="append",
+                    )
+                    return False
+                except Exception:
+                    return True
+                finally:
+                    timer.cancel()
+
+            if _killed_run(kill_dir):
+                kills_landed += 1
+
+            # deterministic crash-state faults on whatever the kill left
+            table = Path(kill_dir, "result")
+            if rng.random() < 0.5:
+                (table / "_SUCCESS").unlink(missing_ok=True)
+                faults["rm_success"] += 1
+            if rng.random() < 0.3:
+                shutil.rmtree(Path(kill_dir, "_lineage"), ignore_errors=True)
+                faults["rm_lineage"] += 1
+            mpath = Path(kill_dir, "_lineage", "manifest.json")
+            if rng.random() < 0.3 and mpath.exists():
+                txt = mpath.read_text()
+                mpath.write_text(txt[: rng.randrange(len(txt))])
+                faults["torn_manifest"] += 1
+            if rng.random() < 0.4:
+                table.mkdir(parents=True, exist_ok=True)
+                for _ in range(rng.randrange(1, 4)):
+                    (table / f"bucket={rng.randrange(n_buckets)}").mkdir(exist_ok=True)
+                faults["empty_bucket_debris"] += 1
+            if rng.random() < 0.4:
+                (table / "_temporary" / "0").mkdir(parents=True, exist_ok=True)
+                faults["temporary_debris"] += 1
+            committed = sorted(table.glob("bucket=*/ok=*")) if table.exists() else []
+            if rng.random() < 0.3 and committed:
+                shutil.rmtree(committed[rng.randrange(len(committed))])
+                faults["rm_committed_partition"] += 1
+
+            # sometimes the resume itself dies and is resumed again
+            if rng.random() < 0.3:
+                if _killed_run(kill_dir):
+                    resume_kills += 1
+
+            # the final resume MUST converge from whatever state is left
+            write_result(
+                extract_pages(filter_pending(pages, kill_dir)),
+                kill_dir, n_buckets=n_buckets, lineage=lineage,
+                input_bucketed=bucketed_input, mode="append",
+            )
+
+            got, want = _rows(str(table)), _rows(str(Path(truth_dir, "result")))
+            if got != want:
+                print(
+                    f"FAIL trial {t}: resumed table diverges from truth "
+                    f"({len(got)} vs {len(want)} rows; buckets={n_buckets} "
+                    f"lineage={lineage} bucketed={bucketed_input}) "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            if _manifest(kill_dir) != _manifest(truth_dir):
+                print(
+                    f"FAIL trial {t}: manifest diverges from truth "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            n_all = spark.read.parquet(str(table)).count()
+            n_urls = read_result(spark, kill_dir, include_failed=True
+                                 ).select("url").distinct().count()
+            if not (n_all == n_urls == n_docs):
+                print(
+                    f"FAIL trial {t}: exactly-once violated "
+                    f"(rows={n_all} urls={n_urls} expect={n_docs}) "
+                    f"— state kept at {base}",
+                    file=sys.stderr,
+                )
+                return 1
+            shutil.rmtree(base, ignore_errors=True)
+        except Exception:
+            print(f"FAIL trial {t}: state kept at {base}", file=sys.stderr)
+            raise
+    print(
+        json.dumps(
+            {
+                "mode": "batch_kill",
+                "trials": trials,
+                "seed": seed,
+                "kills_landed": kills_landed,
+                "resume_kills": resume_kills,
+                "faults": dict(faults),
+                "wall_sec": round(time.monotonic() - t0, 1),
+                "contract": "resume-converges + row/manifest-identical + exactly-once",
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20000)
@@ -370,9 +555,19 @@ def main() -> int:
         help="run the WARC streaming checkpoint-kill sweep instead of "
         "the byte-level mutant sweep",
     )
+    ap.add_argument(
+        "--batch-kill",
+        type=int,
+        default=0,
+        metavar="TRIALS",
+        help="run the batch kill-and-resume sweep (cancel mid-write + "
+        "crash-state disk faults, then resume and compare to truth)",
+    )
     args = ap.parse_args()
     if args.stream_warc:
         return stream_warc_mode(args.stream_warc, args.seed)
+    if args.batch_kill:
+        return batch_kill_mode(args.batch_kill, args.seed)
 
     tasks = [(i, args.seed) for i in range(args.iters)]
     t0 = time.monotonic()
