@@ -8,8 +8,12 @@
 #   1. 8->32 e2e draw            (SPARK_GRAFT_SCALING_E2E_ONLY=1, 2 rounds)
 #   2. 2->8  e2e draw            (unsaturated pair, 1 round)
 #   3. 8->32 e2e draw
-#   4. 8->32 full draw           (ceiling probe + compute stage + e2e)
-#   5. headline contract session (python bench.py -> headline_state.json)
+#   4. 2->8  e2e draw            (second slot: the 2->8 floors re-accumulated
+#                                 from zero at the protocol-v5 cutover, so
+#                                 this pair has the thinnest v5 sample; a
+#                                 2:3 draw ratio rebalances it vs 8->32)
+#   5. 8->32 full draw           (ceiling probe + compute stage + e2e)
+#   6. headline contract session (python bench.py -> headline_state.json)
 #
 # The accumulated-state artifact(s) are committed after every invocation
 # so the floor history is append-only and auditable in git.  Touch
@@ -56,6 +60,13 @@ while :; do
     python bench.py --scaling \
     >/dev/shm/grind_8_32_e2e.json 2>/dev/shm/grind_8_32_e2e.log
   commit_state "Record 8to32 e2e invocation" BENCH/scaling_state.json BENCH/BASELINE.md
+
+  stop_requested && exit 0
+  SPARK_GRAFT_SCALING_PAIR=2,8 SPARK_GRAFT_SCALING_E2E_ONLY=1 \
+    SPARK_GRAFT_SCALING_ROUNDS=1 \
+    python bench.py --scaling \
+    >/dev/shm/grind_2_8_e2e.json 2>/dev/shm/grind_2_8_e2e.log
+  commit_state "Record 2to8 e2e invocation" BENCH/scaling_state_2_8.json BENCH/SCALING_2_8.md
 
   stop_requested && exit 0
   SPARK_GRAFT_SCALING_ROUNDS=2 \
